@@ -1,0 +1,84 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's three config layers (SURVEY.md §5): CLI flags,
+config structs (GPUTrackerConfig / TrackerConfig), and compile-time
+constants. Configs here are static hashable dataclasses so they can be
+closed over by jit without retracing on every call.
+
+Reference: include/cuda/gpu_tracker.h:16-26, include/types.h:135-155,
+src/main.cpp:132-141.
+"""
+from __future__ import annotations
+
+import dataclasses
+from . import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """GPU-native tracker configuration (reference: gpu_tracker.h:16-26)."""
+    max_tracks: int = C.DEFAULT_MAX_TRACKS
+    max_detections: int = C.DEFAULT_MAX_DETECTIONS
+    match_threshold: float = 0.5    # cost threshold (1 - OKS)
+    high_thresh: float = 0.30       # two-tier high-confidence split
+    low_thresh: float = 0.15        # two-tier low-confidence floor
+    new_track_thresh: float = 0.30  # min confidence to spawn a track
+    max_age: int = 10               # frames before confirmed -> lost
+    min_hits: int = 3               # hits before tentative -> confirmed
+
+    # Compile-time constants in the reference, lifted into config here.
+    lost_window: int = C.LOST_WINDOW
+    gate_threshold: float = C.GATE_THRESHOLD
+    visibility_threshold: float = C.VISIBILITY_THRESHOLD
+    dedup_iou_threshold: float = C.DEDUP_IOU_THRESHOLD
+
+    @staticmethod
+    def from_conf_threshold(conf: float, **kw) -> "TrackerConfig":
+        """Derive tracker thresholds from detector confidence, as the demo
+        CLI does (reference: src/main.cpp:132-141, low = conf * 0.5)."""
+        return TrackerConfig(
+            high_thresh=conf,
+            low_thresh=conf * 0.5,
+            new_track_thresh=conf,
+            **kw,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LegacyTrackerConfig:
+    """Legacy host-path tracker config (reference: types.h:135-155)."""
+    high_thresh: float = 0.6
+    low_thresh: float = 0.1
+    new_track_thresh: float = 0.7
+    max_time_lost: int = 30
+    min_hits: int = 3
+    match_thresh: float = 0.8
+    iou_thresh: float = 0.3
+    accel_memory: float = 0.9
+    jerk_memory: float = 0.9
+    nms_thresh: float = 0.65
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Detection + postprocess configuration.
+
+    Mirrors YoloPoseEngine / GPUPostprocess knobs
+    (reference: include/tensorrt/yolo_pose_engine.h:59-130,
+    src/cuda/gpu_postprocess.cu:366-476)."""
+    input_size: int = C.DEFAULT_INPUT_SIZE
+    num_anchors: int = C.DEFAULT_NUM_ANCHORS
+    conf_threshold: float = 0.25
+    iou_threshold: float = 0.55     # NMS IoU (gpu_postprocess process default)
+    oks_threshold: float = 0.55    # NMS OKS
+    max_candidates: int = 256       # pre-NMS top-k (ref caps at 1024 w/ atomics)
+    max_detections: int = C.DEFAULT_MAX_DETECTIONS
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end frame pipeline configuration."""
+    detector: DetectorConfig = DetectorConfig()
+    tracker: TrackerConfig = TrackerConfig()
+    model_name: str = "yolov8n-pose"
+    precision: str = "bf16"         # fp32 | bf16 | int8

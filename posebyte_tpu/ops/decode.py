@@ -1,0 +1,64 @@
+"""YOLO-pose raw-output decoding.
+
+TPU-native reformulation of the reference's decode kernel
+(reference: src/cuda/gpu_postprocess.cu:30-81 kernelDecodeAndFilter):
+the raw head output is a [56, A] tensor (rows 0-3 bbox cxcywh, row 4
+confidence, rows 5-55 the 17*3 keypoints). The CUDA kernel filters by
+confidence with atomic slot grabbing (arbitrary candidate order); here
+the same filter is a masked `top_k` over the confidence row — a single
+fused sort-free reduction on TPU — which yields a deterministic,
+score-descending candidate set (a strict improvement with identical
+aggregate behavior; the reference sorts by score immediately after
+anyway, gpu_postprocess.cu:178-203).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.structs import Detections
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",))
+def decode_yolo_output(raw: jnp.ndarray, conf_threshold: float,
+                       max_candidates: int = 256) -> Detections:
+    """Decode [56, A] raw output into a padded candidate Detections set.
+
+    Candidates are the top-`max_candidates` anchors by confidence among
+    those >= conf_threshold; bbox cxcywh -> xyxy; keypoints unpacked to
+    [K, 17, 3] (reference: kernelDecodeAndFilter, gpu_postprocess.cu:49-80).
+    """
+    num_anchors = raw.shape[-1]
+    conf = raw[4]                                        # [A]
+    passing = conf >= conf_threshold
+    ranked = jnp.where(passing, conf, -1.0)
+    k = min(max_candidates, num_anchors)
+    top_conf, top_idx = jax.lax.top_k(ranked, k)          # [K]
+    valid = top_conf > 0.0
+
+    sel = raw[:, top_idx]                                 # [56, K]
+    cx, cy, w, h = sel[0], sel[1], sel[2], sel[3]
+    boxes = jnp.stack([cx - w * 0.5, cy - h * 0.5,
+                       cx + w * 0.5, cy + h * 0.5], axis=-1)  # [K,4]
+    kpts = sel[5:5 + C.NUM_KEYPOINTS * 3]                 # [51, K]
+    poses = jnp.transpose(kpts, (1, 0)).reshape(k, C.NUM_KEYPOINTS, 3)
+
+    z = valid[:, None]
+    return Detections(
+        poses=jnp.where(z[..., None], poses, 0.0),
+        boxes=jnp.where(z, boxes, 0.0),
+        scores=jnp.where(valid, sel[4], 0.0),
+        valid=valid,
+    )
+
+
+def decode_yolo_output_batch(raw: jnp.ndarray, conf_threshold: float,
+                             max_candidates: int = 256) -> Detections:
+    """Batched decode: [B, 56, A] -> Detections with leading batch axis
+    (reference batch path: detectBatch, yolo_pose_engine.cpp:648-703)."""
+    return jax.vmap(
+        lambda r: decode_yolo_output(r, conf_threshold, max_candidates)
+    )(raw)
