@@ -1,0 +1,153 @@
+"""posebyte_demo — real-time pose tracking on video.
+
+CLI parity with the reference demo binary
+(reference: src/main.cpp:70-311): same flags, same tracker-config
+derivation (low = conf * 0.5, new_track = conf, main.cpp:132-141), same
+per-frame loop and final timing report.
+
+Usage:
+  python -m posebyte_tpu.cli.demo -e model.safetensors -i in.mp4 \\
+      [-o out.mp4] [-c 0.30] [-n 0.65] [-t 0.5] [-a 10] [-d] [-v]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="posebyte_demo",
+        description="TPU-native multi-person pose tracking")
+    p.add_argument("-e", "--engine", required=True,
+                   help="model weights (.safetensors from export, "
+                        "ultralytics .pt, or a model name for random "
+                        "weights e.g. yolov8n-pose)")
+    p.add_argument("-i", "--input", required=True, help="input video")
+    p.add_argument("-o", "--output", default="", help="output video")
+    p.add_argument("-c", "--conf", type=float, default=0.30,
+                   help="detection confidence threshold")
+    p.add_argument("-n", "--nms", type=float, default=0.65,
+                   help="NMS IoU threshold")
+    p.add_argument("-t", "--track", type=float, default=0.5,
+                   help="match cost threshold (1 - OKS)")
+    p.add_argument("-a", "--max-age", type=int, default=10,
+                   help="frames before a track is lost")
+    p.add_argument("-d", "--display", action="store_true",
+                   help="display output in a window")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-frame detection/track dumps")
+    p.add_argument("--precision", default="bf16",
+                   choices=["fp32", "bf16", "int8"])
+    return p
+
+
+def load_model_params(engine: str):
+    """Resolve the -e argument: safetensors | ultralytics .pt | model
+    name (random init, for smoke runs)."""
+    from ..models import MODEL_CONFIGS
+    from ..models.weights import load_params, load_pretrained
+    if engine in MODEL_CONFIGS:
+        return None, engine
+    if engine.endswith(".safetensors"):
+        params, name = load_params(engine)
+        return params, name
+    if engine.endswith((".pt", ".pth")):
+        for name in MODEL_CONFIGS:
+            if name.split("-")[0] in engine:
+                return load_pretrained(engine, name), name
+        raise SystemExit(
+            f"cannot infer model size from {engine}; rename to include "
+            f"e.g. 'yolov8n'")
+    raise SystemExit(f"unrecognized engine: {engine}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..core.config import (DetectorConfig, PipelineConfig,
+                               TrackerConfig)
+    from ..pipeline import PosePipeline
+    from ..utils.video import (VideoReader, VideoWriter, draw_all_tracks,
+                               draw_stats)
+
+    params, model_name = load_model_params(args.engine)
+    print(f"Loading model: {model_name} "
+          f"({'pretrained' if params is not None else 'random init'})")
+
+    tracker_cfg = TrackerConfig(
+        match_threshold=args.track,
+        high_thresh=args.conf,
+        low_thresh=args.conf * 0.5,
+        new_track_thresh=args.conf,
+        max_age=args.max_age,
+    )
+    config = PipelineConfig(
+        detector=DetectorConfig(conf_threshold=args.conf,
+                                iou_threshold=args.nms),
+        tracker=tracker_cfg,
+        model_name=model_name,
+        precision=args.precision,
+    )
+    pipe = PosePipeline(config, params=params)
+    print(f"Tracker initialized (max {tracker_cfg.max_tracks} tracks, "
+          f"{tracker_cfg.max_detections} detections)")
+
+    video = VideoReader(args.input)
+    print(f"Video info: {video.width}x{video.height} @ {video.fps:.1f} fps, "
+          f"{video.frame_count} frames")
+    writer = None
+    if args.output:
+        writer = VideoWriter(args.output, video.width, video.height,
+                             video.fps)
+        print(f"Writing output to: {args.output}")
+
+    frame_idx = 0
+    t_start = time.perf_counter()
+    fps_smooth = 0.0
+    for frame in video:
+        t0 = time.perf_counter()
+        out = pipe.process_frame(frame)
+        tracks = pipe.fetch_outputs(out, video.width, video.height)
+        dt = time.perf_counter() - t0
+        fps_smooth = 0.9 * fps_smooth + 0.1 / max(dt, 1e-6) \
+            if fps_smooth else 1.0 / max(dt, 1e-6)
+        frame_idx += 1
+
+        if args.verbose:
+            ids = [t.track_id for t in tracks]
+            print(f"frame {frame_idx}: {len(tracks)} tracks, ids={ids}")
+
+        if writer is not None or args.display:
+            draw_all_tracks(frame, tracks)
+            draw_stats(frame, fps_smooth, len(tracks), dt * 1e3)
+        if writer is not None:
+            writer.write(frame)
+        if args.display:
+            import cv2
+            cv2.imshow("posebyte", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+        if not args.verbose and frame_idx % 30 == 0:
+            total = video.frame_count or 0
+            print(f"\r  frame {frame_idx}/{total}  {fps_smooth:6.1f} FPS",
+                  end="", flush=True)
+
+    total_s = time.perf_counter() - t_start
+    print(f"\n\n=== Summary ===")
+    print(f"Frames processed: {frame_idx}")
+    print(f"Total time:       {total_s:.2f} s")
+    if frame_idx:
+        print(f"Average FPS:      {frame_idx / total_s:.1f}")
+        print(f"Mean dispatch:    {pipe.mean_frame_ms:.2f} ms/frame")
+    video.release()
+    if writer is not None:
+        writer.release()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

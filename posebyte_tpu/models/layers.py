@@ -1,0 +1,307 @@
+"""Functional neural-net building blocks for YOLO-pose on TPU.
+
+TPU-native design notes:
+  * NHWC layout + HWIO kernels — XLA's native TPU convolution layout, so
+    every conv lowers straight onto the MXU without transposes.
+  * BatchNorm is folded into conv weight/bias at load time (an inference
+    framework, like the reference's TensorRT engine builds —
+    reference: src/tensorrt/yolo_pose_engine.cpp:183-411); at init time
+    layers are conv+bias directly.
+  * Params are plain nested dicts (pytrees): transparent for weight
+    import, quantization rewrites, and sharding annotations.
+  * Compute dtype is a parameter: fp32 / bf16 (int8 lives in quant.py).
+
+Explicit symmetric padding (k//2) matches torch's Conv2d semantics so
+imported ultralytics weights reproduce reference outputs exactly.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@jax.tree_util.register_static
+class Static:
+    """Wrapper marking a pytree leaf as static metadata (not traced under
+    jit). Used for structural flags stored alongside weights (block
+    arity, shortcut flags, hidden widths)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        return hash(self.value)
+
+    def __eq__(self, other):
+        return isinstance(other, Static) and self.value == other.value
+
+    def __repr__(self):
+        return f"Static({self.value!r})"
+
+
+def conv_init(key, c_in: int, c_out: int, k: int = 1):
+    """He-normal conv params {w: [k,k,c_in,c_out], b: [c_out]}."""
+    fan_in = c_in * k * k
+    std = math.sqrt(2.0 / fan_in)
+    w = jax.random.normal(key, (k, k, c_in, c_out), jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def conv2d(params, x, stride: int = 1, groups: int = 1):
+    """NHWC conv with torch-style symmetric k//2 padding.
+
+    Accepts float params {w, b} or int8-quantized {w int8, scale, b}
+    (models/quant.py); dequantization fuses into the conv epilogue."""
+    if "scale" in params:
+        w = params["w"].astype(x.dtype) * params["scale"].astype(x.dtype)
+    else:
+        w = params["w"].astype(x.dtype)
+    k = w.shape[0]
+    pad = k // 2
+    y = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=x.dtype,
+    )
+    return y + params["b"].astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def conv_block(params, x, stride: int = 1, groups: int = 1):
+    """Conv + (folded) BN + SiLU — ultralytics `Conv`."""
+    return silu(conv2d(params, x, stride, groups))
+
+
+def conv_block_init(key, c_in, c_out, k=1):
+    return conv_init(key, c_in, c_out, k)
+
+
+def dwconv_block(params, x, stride: int = 1):
+    """Depthwise Conv + SiLU — ultralytics `DWConv` (used by YOLO11
+    detect heads)."""
+    c = x.shape[-1]
+    return silu(conv2d(params, x, stride, groups=c))
+
+
+def dwconv_init(key, c: int, k: int = 3):
+    # depthwise: HWIO with I = 1, O = c
+    fan_in = k * k
+    std = math.sqrt(2.0 / fan_in)
+    w = jax.random.normal(key, (k, k, 1, c), jnp.float32) * std
+    return {"w": w, "b": jnp.zeros((c,), jnp.float32)}
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck / C2f / C3k2 / SPPF / C2PSA
+# ---------------------------------------------------------------------------
+
+def bottleneck_init(key, c_in, c_out, shortcut=True, e=0.5, k=(3, 3)):
+    k1, k2 = jax.random.split(key)
+    c_h = int(c_out * e)
+    return {
+        "cv1": conv_init(k1, c_in, c_h, k[0]),
+        "cv2": conv_init(k2, c_h, c_out, k[1]),
+        "add": Static(shortcut and c_in == c_out),
+    }
+
+
+def bottleneck(params, x):
+    y = conv_block(params["cv2"], conv_block(params["cv1"], x))
+    return x + y if params["add"].value else y
+
+
+def c2f_init(key, c_in, c_out, n=1, shortcut=False, e=0.5):
+    keys = jax.random.split(key, n + 2)
+    c_h = int(c_out * e)
+    return {
+        "cv1": conv_init(keys[0], c_in, 2 * c_h, 1),
+        "cv2": conv_init(keys[1], (2 + n) * c_h, c_out, 1),
+        "m": [bottleneck_init(keys[2 + i], c_h, c_h, shortcut, e=1.0)
+              for i in range(n)],
+        "c_h": Static(c_h),
+    }
+
+
+def c2f(params, x):
+    """CSP bottleneck with 2 convs, n inner bottlenecks (ultralytics C2f)."""
+    c_h = params["c_h"].value
+    y = conv_block(params["cv1"], x)
+    parts = [y[..., :c_h], y[..., c_h:]]
+    for m in params["m"]:
+        parts.append(bottleneck(m, parts[-1]))
+    return conv_block(params["cv2"], jnp.concatenate(parts, axis=-1))
+
+
+def c3_init(key, c_in, c_out, n=1, shortcut=True, e=0.5, bk=(1, 3)):
+    keys = jax.random.split(key, n + 3)
+    c_h = int(c_out * e)
+    return {
+        "cv1": conv_init(keys[0], c_in, c_h, 1),
+        "cv2": conv_init(keys[1], c_in, c_h, 1),
+        "cv3": conv_init(keys[2], 2 * c_h, c_out, 1),
+        "m": [bottleneck_init(keys[3 + i], c_h, c_h, shortcut, e=1.0, k=bk)
+              for i in range(n)],
+    }
+
+
+def c3(params, x):
+    a = conv_block(params["cv1"], x)
+    for m in params["m"]:
+        a = bottleneck(m, a)
+    b = conv_block(params["cv2"], x)
+    return conv_block(params["cv3"], jnp.concatenate([a, b], axis=-1))
+
+
+def c3k2_init(key, c_in, c_out, n=1, c3k=False, e=0.5, shortcut=True):
+    """YOLO11's C3k2: a C2f whose inner blocks are C3k (k=3 C3) when
+    c3k=True, plain bottlenecks otherwise."""
+    keys = jax.random.split(key, n + 2)
+    c_h = int(c_out * e)
+    inner = []
+    for i in range(n):
+        if c3k:
+            inner.append((Static("c3k"), c3_init(keys[2 + i], c_h, c_h, n=2,
+                                         shortcut=shortcut, bk=(3, 3))))
+        else:
+            inner.append((Static("bottleneck"),
+                          bottleneck_init(keys[2 + i], c_h, c_h, shortcut,
+                                          e=0.5)))
+    return {
+        "cv1": conv_init(keys[0], c_in, 2 * c_h, 1),
+        "cv2": conv_init(keys[1], (2 + n) * c_h, c_out, 1),
+        "m": inner,
+        "c_h": Static(c_h),
+    }
+
+
+def c3k2(params, x):
+    c_h = params["c_h"].value
+    y = conv_block(params["cv1"], x)
+    parts = [y[..., :c_h], y[..., c_h:]]
+    for kind, m in params["m"]:
+        if kind.value == "c3k":
+            parts.append(c3(m, parts[-1]))
+        else:
+            parts.append(bottleneck(m, parts[-1]))
+    return conv_block(params["cv2"], jnp.concatenate(parts, axis=-1))
+
+
+def sppf_init(key, c_in, c_out, k=5):
+    k1, k2 = jax.random.split(key)
+    c_h = c_in // 2
+    return {
+        "cv1": conv_init(k1, c_in, c_h, 1),
+        "cv2": conv_init(k2, c_h * 4, c_out, 1),
+        "k": Static(k),
+    }
+
+
+def _maxpool(x, k):
+    pad = k // 2
+    return lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+def sppf(params, x):
+    """Spatial pyramid pooling (fast): 3 chained maxpools, concat."""
+    k = params["k"].value
+    y = conv_block(params["cv1"], x)
+    p1 = _maxpool(y, k)
+    p2 = _maxpool(p1, k)
+    p3 = _maxpool(p2, k)
+    return conv_block(params["cv2"], jnp.concatenate([y, p1, p2, p3],
+                                                     axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# C2PSA (YOLO11 attention stage)
+# ---------------------------------------------------------------------------
+
+def _attention_init(key, dim, num_heads):
+    k1, k2, k3 = jax.random.split(key, 3)
+    head_dim = dim // num_heads
+    key_dim = head_dim // 2
+    nh_kd = key_dim * num_heads
+    h = dim + nh_kd * 2
+    return {
+        "qkv": conv_init(k1, dim, h, 1),
+        "proj": conv_init(k2, dim, dim, 1),
+        "pe": dwconv_init(k3, dim, 3),
+        "num_heads": Static(num_heads), "key_dim": Static(key_dim),
+        "head_dim": Static(head_dim),
+    }
+
+
+def _attention(params, x):
+    """Ultralytics `Attention` over spatial tokens (B, H, W, C)."""
+    B, H, W, Cc = x.shape
+    nh, kd, hd = (params["num_heads"].value, params["key_dim"].value,
+                  params["head_dim"].value)
+    N = H * W
+    qkv = conv2d(params["qkv"], x)                       # [B,H,W,h]
+    qkv = qkv.reshape(B, N, nh, kd * 2 + hd)
+    q, k, v = jnp.split(qkv, [kd, kd * 2], axis=-1)       # [B,N,nh,*]
+    scale = kd ** -0.5
+    attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.reshape(B, H, W, Cc)
+    vv = v.reshape(B, H, W, nh * hd)
+    pe = conv2d(params["pe"], vv, groups=Cc)
+    return conv2d(params["proj"], out + pe)
+
+
+def _psablock_init(key, dim, num_heads):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "attn": _attention_init(k1, dim, num_heads),
+        "ffn1": conv_init(k2, dim, dim * 2, 1),
+        "ffn2": conv_init(k3, dim * 2, dim, 1),
+    }
+
+
+def _psablock(params, x):
+    x = x + _attention(params["attn"], x)
+    y = conv_block(params["ffn1"], x)
+    return x + conv2d(params["ffn2"], y)
+
+
+def c2psa_init(key, c, n=1, e=0.5):
+    keys = jax.random.split(key, n + 2)
+    c_h = int(c * e)
+    return {
+        "cv1": conv_init(keys[0], c, 2 * c_h, 1),
+        "cv2": conv_init(keys[1], 2 * c_h, c, 1),
+        "m": [_psablock_init(keys[2 + i], c_h, max(1, c_h // 64))
+              for i in range(n)],
+        "c_h": Static(c_h),
+    }
+
+
+def c2psa(params, x):
+    c_h = params["c_h"].value
+    y = conv_block(params["cv1"], x)
+    a, b = y[..., :c_h], y[..., c_h:]
+    for m in params["m"]:
+        b = _psablock(m, b)
+    return conv_block(params["cv2"], jnp.concatenate([a, b], axis=-1))
+
+
+def upsample2x(x):
+    """Nearest-neighbor 2x upsample (ultralytics nn.Upsample)."""
+    B, H, W, Cc = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)

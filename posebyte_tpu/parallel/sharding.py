@@ -1,0 +1,105 @@
+"""Device-mesh sharding for batched / multi-stream serving.
+
+The reference is strictly single-GPU (SURVEY.md §2.3); scaling beyond
+one chip is new surface in this framework: N concurrent video streams
+are tracked as a leading `stream` axis sharded over a 1-D device mesh
+(pure data parallelism — per-stream tracker recurrences are independent,
+so the only communication is initial dispersal; collectives ride ICI
+automatically if a reduction is ever requested).
+
+Weights are replicated; per-stream tracker state lives sharded in each
+chip's HBM and is donated every step, so stream state never moves.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import PipelineConfig
+from ..core.structs import TrackerState
+from ..models import build_model
+from ..ops.decode import decode_yolo_output
+from ..ops.nms import pose_nms
+from ..ops.preprocess import letterbox_image
+from ..tracker.step import tracker_step
+from ..tracker.output import extract_outputs_device
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "stream") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    mesh_devs = mesh_utils.create_device_mesh((n,), devices=devs[:n])
+    return Mesh(mesh_devs, (axis_name,))
+
+
+def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
+                        apply_fn):
+    """Unbatched fused step (shared with PosePipeline semantics)."""
+    det_cfg = config.detector
+    img = letterbox_image(frame_u8, det_cfg.input_size)
+    raw = apply_fn(params, jnp.transpose(img, (1, 2, 0))[None])
+    det = decode_yolo_output(raw[0], det_cfg.conf_threshold,
+                             det_cfg.max_candidates)
+    det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
+                   det_cfg.max_detections)
+    state, aux = tracker_step(state, det, config.tracker)
+    ids, scores, poses, boxes, emit = extract_outputs_device(
+        state, det.scores, config.tracker)
+    out = {"ids": ids, "scores": scores, "poses": poses, "boxes": boxes,
+           "emit": emit, "num_active": aux["num_active"]}
+    return state, out
+
+
+class MultiStreamPipeline:
+    """Batched multi-stream tracking with per-stream HBM state.
+
+    Serves the BASELINE "8x concurrent 1080p streams" configuration:
+    frames arrive as [S, H, W, 3] uint8, the stream axis is sharded over
+    the mesh, and each device runs its streams' full detect->track chain
+    locally with zero cross-device traffic per frame.
+    """
+
+    def __init__(self, num_streams: int, config: PipelineConfig =
+                 PipelineConfig(), mesh: Optional[Mesh] = None,
+                 params=None, seed: int = 0, dtype=jnp.bfloat16):
+        self.config = config
+        self.num_streams = num_streams
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.apply_fn, init_fn = build_model(config.model_name, dtype)
+        self.params = params if params is not None else \
+            init_fn(jax.random.PRNGKey(seed))
+
+        stream = NamedSharding(self.mesh, P("stream"))
+        replicated = NamedSharding(self.mesh, P())
+
+        init_state = jax.vmap(
+            lambda _: TrackerState.init(config.tracker.max_tracks,
+                                        config.tracker.max_detections)
+        )(jnp.arange(num_streams))
+        self.states = jax.device_put(init_state, stream)
+        self.params = jax.device_put(self.params, replicated)
+
+        vstep = jax.vmap(
+            functools.partial(_single_stream_step, config=config,
+                              apply_fn=self.apply_fn),
+            in_axes=(None, 0, 0))
+        self._step = jax.jit(
+            vstep,
+            in_shardings=(replicated, stream, stream),
+            out_shardings=(stream, stream),
+            donate_argnums=(1,),
+        )
+        self._frame_sharding = stream
+
+    def process_frames(self, frames: np.ndarray):
+        """frames: [num_streams, H, W, 3] uint8 -> per-stream outputs."""
+        frames = jax.device_put(jnp.asarray(frames), self._frame_sharding)
+        self.states, out = self._step(self.params, self.states, frames)
+        return out

@@ -1,0 +1,144 @@
+"""The fused per-frame pipeline: preprocess -> detect -> decode/NMS ->
+track, as a single jitted dispatch.
+
+TPU-native equivalent of the reference's per-frame hot loop
+(reference: src/main.cpp:194-281, SURVEY.md §3.1). The reference chains
+preprocess kernel -> TensorRT enqueue -> postprocess kernels -> 25
+tracker kernels with four host/device crossings per frame; here the
+whole chain is ONE XLA executable per frame with donated tracker state
+(HBM-resident), one small H2D (the frame, as flat bytes — see
+ops/preprocess.py for why) and one small D2H (the track outputs) — the
+"0 intermediate copies, 1 sync/frame" design target of
+docs/GPU_NATIVE_ARCHITECTURE.md:299-303, reached by construction.
+
+Dispatch is asynchronous: process_frame() enqueues and returns device
+references immediately, so frame N+1's transfer/compute overlaps frame
+N's host-side output fetch — the TPU analogue of the reference's CUDA
+stream overlap.
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DetectorConfig, PipelineConfig
+from ..core.structs import TrackerState
+from ..models import build_model
+from ..ops.decode import decode_yolo_output
+from ..ops.nms import pose_nms
+from ..ops.preprocess import letterbox_flat, letterbox_params
+from ..tracker.output import extract_outputs_device, TrackOutput
+from ..tracker.step import tracker_step
+
+
+def detect_fn(params, image_chw, det_cfg: DetectorConfig, apply_fn):
+    """Single-image detect: [3, S, S] float input -> NMS'd Detections.
+
+    Equivalent of YoloPoseEngine::detectGPUNative
+    (reference: yolo_pose_engine.cpp:610-646)."""
+    raw = apply_fn(params, jnp.transpose(image_chw, (1, 2, 0))[None])
+    det = decode_yolo_output(raw[0], det_cfg.conf_threshold,
+                             det_cfg.max_candidates)
+    return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
+                    det_cfg.max_detections)
+
+
+class PosePipeline:
+    """End-to-end pose tracking pipeline (the `posebyte_demo` engine).
+
+    Owns the model params, the tracker state (device-resident), and one
+    jitted step function per input geometry. Host code only feeds uint8
+    frames and receives compact per-frame track tensors.
+    """
+
+    def __init__(self, config: PipelineConfig = PipelineConfig(),
+                 params=None, seed: int = 0, dtype=None):
+        self.config = config
+        if dtype is None:
+            dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+                     "int8": jnp.bfloat16}[config.precision]
+        self.apply_fn, init_fn = build_model(config.model_name, dtype)
+        if params is None:
+            params = init_fn(jax.random.PRNGKey(seed))
+        self.params = params
+        self.state = TrackerState.init(config.tracker.max_tracks,
+                                       config.tracker.max_detections)
+        self._step_cache = {}
+        self.timing = {"dispatch_ms": 0.0, "frames": 0}
+
+    # -- fused step ---------------------------------------------------------
+    def _make_step(self, h: int, w: int):
+        det_cfg = self.config.detector
+        trk_cfg = self.config.tracker
+        apply_fn = self.apply_fn
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, state, frame_flat_u8):
+            img = letterbox_flat(frame_flat_u8, w, h, det_cfg.input_size)
+            det = detect_fn(params, img, det_cfg, apply_fn)
+            state, aux = tracker_step(state, det, trk_cfg)
+            ids, scores, poses, boxes, emit = extract_outputs_device(
+                state, det.scores, trk_cfg)
+            out = {"ids": ids, "scores": scores, "poses": poses,
+                   "boxes": boxes, "emit": emit,
+                   "num_active": aux["num_active"],
+                   "det_scores": det.scores, "det_valid": det.valid}
+            return state, out
+
+        return step
+
+    def process_frame(self, frame_bgr: np.ndarray, block: bool = False):
+        """Enqueue one frame (uint8 HWC BGR); returns device outputs.
+
+        Asynchronous by default — pass block=True (or call
+        fetch_outputs) to synchronize."""
+        h, w = frame_bgr.shape[:2]
+        step = self._step_cache.get((h, w))
+        if step is None:
+            step = self._make_step(h, w)
+            self._step_cache[(h, w)] = step
+        t0 = time.perf_counter()
+        flat = np.ascontiguousarray(frame_bgr).reshape(-1)
+        self.state, out = step(self.params, self.state, jnp.asarray(flat))
+        if block:
+            out["emit"].block_until_ready()
+        self.timing["dispatch_ms"] += (time.perf_counter() - t0) * 1e3
+        self.timing["frames"] += 1
+        return out
+
+    def fetch_outputs(self, out, frame_w: int, frame_h: int):
+        """The single D2H copy: device outputs -> host TrackOutput list,
+        un-letterboxed to frame coordinates (reference:
+        getActiveTracks + scaleTrackOutputs, main.cpp:48-68, 224)."""
+        ids, scores, poses, boxes, emit = jax.device_get(
+            (out["ids"], out["scores"], out["poses"], out["boxes"],
+             out["emit"]))
+        scale, _, _, pad_x, pad_y = letterbox_params(
+            frame_w, frame_h, self.config.detector.input_size)
+        pad = np.asarray([pad_x, pad_y], np.float32)
+        results = []
+        for d in range(len(ids)):
+            if not emit[d]:
+                continue
+            kp = poses[d].copy()
+            kp[:, :2] = (kp[:, :2] - pad) / scale
+            bb = boxes[d].copy()
+            bb[0:2] = (bb[0:2] - pad) / scale
+            bb[2:4] = (bb[2:4] - pad) / scale
+            results.append(TrackOutput(track_id=int(ids[d]),
+                                       score=float(scores[d]),
+                                       bbox=bb, keypoints=kp))
+        return results
+
+    def reset(self):
+        self.state = TrackerState.init(self.config.tracker.max_tracks,
+                                       self.config.tracker.max_detections)
+
+    @property
+    def mean_frame_ms(self) -> float:
+        f = max(self.timing["frames"], 1)
+        return self.timing["dispatch_ms"] / f

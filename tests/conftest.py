@@ -5,11 +5,19 @@ is exercised without TPU hardware; must run before jax is imported.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins another platform (e.g. a
+# tunneled TPU): tests must be hermetic and exercise the virtual mesh.
+# A sitecustomize may have pre-registered a TPU plugin, so the config
+# update (which wins over env) is applied as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,67 @@
+"""Tests for int8 quantization and the CLI surfaces."""
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from posebyte_tpu.models import build_model, init_params
+from posebyte_tpu.models.quant import (quantize_params, _quantize_conv,
+                                       PARTIAL_QUANT_SKIP)
+
+
+def test_quantize_conv_roundtrip_error_small():
+    rng = np.random.default_rng(0)
+    w = rng.normal(0, 0.1, size=(3, 3, 8, 16)).astype(np.float32)
+    p = {"w": w, "b": np.zeros(16, np.float32)}
+    q = _quantize_conv(p)
+    assert q["w"].dtype == np.int8
+    deq = q["w"].astype(np.float32) * q["scale"]
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.01   # int8 per-channel: < 1% of range
+
+
+def test_partial_quant_policy():
+    params = init_params(jax.random.PRNGKey(0), "yolov8n-pose")
+    q = quantize_params(params)
+    # stem stays float (reference keeps /model.0/../model.4/ FP16)
+    for key in PARTIAL_QUANT_SKIP:
+        for leaf in jax.tree.leaves(q[key]):
+            assert leaf.dtype != jnp.int8
+    # later layers quantized
+    assert q["b9"]["cv1"]["w"].dtype == jnp.int8
+    assert q["head"]["cv4"][0]["0"]["w"].dtype == jnp.int8
+
+
+def test_quantized_forward_close_to_float():
+    apply_fn, init_fn = build_model("yolov8n-pose")
+    params = init_fn(jax.random.PRNGKey(0))
+    q = quantize_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    ref = jax.jit(apply_fn)(params, x)
+    got = jax.jit(apply_fn)(q, x)
+    assert got.shape == ref.shape
+    # confidences (sigmoid outputs) stay close
+    np.testing.assert_allclose(np.asarray(got[0, 4]),
+                               np.asarray(ref[0, 4]), atol=0.1)
+
+
+def test_export_and_demo_load_roundtrip(tmp_path):
+    from posebyte_tpu.cli.export import main as export_main
+    from posebyte_tpu.cli.demo import load_model_params
+    out = str(tmp_path / "m.safetensors")
+    rc = export_main(["-m", "yolov8n-pose", "-o", out, "--no-compile"])
+    assert rc == 0
+    params, name = load_model_params(out)
+    assert name == "yolov8n-pose"
+    assert params is not None
+
+
+def test_benchmark_cli_json(capsys):
+    from posebyte_tpu.cli.benchmark import main as bench_main
+    rc = bench_main(["-n", "2", "--json"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    for key in ["kalman136_predict_ms", "oks_50x100_ms",
+                "auction_50x50_ms", "pose_nms_100_ms", "tracker_step_ms"]:
+        assert key in data and data[key] > 0
