@@ -41,27 +41,29 @@ def main():
     frames = [rng.integers(0, 255, size=(720, 1280, 3), dtype=np.uint8)
               for _ in range(4)]
 
-    # Warmup / compile
-    for i in range(5):
-        pipe.process_frame(frames[i % len(frames)], block=True)
+    import jax
 
-    # Throughput: depth-1 pipelining (dispatch frame i, sync frame i-1),
-    # the same overlap discipline as the reference's CUDA streams.
-    n_frames = 300
-    prev = None
+    # Throughput: chunked video processing (K frames per dispatch via
+    # lax.scan — one bulk H2D + one executable per chunk; the tracker
+    # recurrence is the scan carry). This is the video-file workload the
+    # reference's headline numbers measure.
+    chunk = 32
+    frames_np = np.stack([frames[i % len(frames)] for i in range(chunk)])
+    out = pipe.process_chunk(frames_np)       # compile + warm
+    jax.block_until_ready(out["emit"])
+    n_chunks = 8
     t_start = time.perf_counter()
-    for i in range(n_frames):
-        out = pipe.process_frame(frames[i % len(frames)])
-        if prev is not None:
-            prev["emit"].block_until_ready()
-        prev = out
-    prev["emit"].block_until_ready()
+    for _ in range(n_chunks):
+        out = pipe.process_chunk(frames_np)
+    jax.block_until_ready(out["emit"])
     total = time.perf_counter() - t_start
+    n_frames = n_chunks * chunk
     fps = n_frames / total
 
-    # Latency: fully synchronous frames.
+    # Latency: fully synchronous single-frame streaming steps.
+    pipe.process_frame(frames[0], block=True)   # compile streaming path
     lat = []
-    for i in range(50):
+    for i in range(30):
         t0 = time.perf_counter()
         pipe.process_frame(frames[i % len(frames)], block=True)
         lat.append((time.perf_counter() - t0) * 1e3)
@@ -74,7 +76,7 @@ def main():
         "p50_ms": round(float(np.percentile(lat, 50)), 3),
         "p90_ms": round(float(np.percentile(lat, 90)), 3),
         "frames": n_frames,
-        "note": "throughput with depth-1 dispatch overlap; latency sync",
+        "note": "throughput: 32-frame scan chunks; latency: sync streaming",
         "device": str(jax.devices()[0]),
         "precision": "bf16",
     }

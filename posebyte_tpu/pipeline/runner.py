@@ -91,6 +91,66 @@ class PosePipeline:
 
         return step
 
+    # -- chunked mode -------------------------------------------------------
+    def _make_chunk_step(self, k: int, h: int, w: int):
+        """K frames per dispatch: batched detection + scanned tracking.
+
+        Detection has no cross-frame dependency, so the whole chunk runs
+        as ONE batched conv pass — K images through the MXU together
+        (far better utilization than per-frame convs, and it sidesteps
+        XLA's poor handling of conv nets inside loop bodies). Only the
+        genuinely sequential part — the tracker recurrence — runs as a
+        `lax.scan` over the per-frame detections (SURVEY.md §5 "the
+        video-time recurrence maps to lax.scan"). One bulk H2D per
+        chunk, one executable, one small D2H."""
+        det_cfg = self.config.detector
+        trk_cfg = self.config.tracker
+        apply_fn = self.apply_fn
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk_step(params, state, frames_flat_u8):
+            # [K, H*W*3] -> [K, S, S, 3] letterboxed batch
+            imgs = jax.vmap(
+                lambda f: letterbox_flat(f, w, h, det_cfg.input_size)
+            )(frames_flat_u8)                          # [K, 3, S, S]
+            raw = apply_fn(params, jnp.transpose(imgs, (0, 2, 3, 1)))
+
+            def decode_one(r):
+                det = decode_yolo_output(r, det_cfg.conf_threshold,
+                                         det_cfg.max_candidates)
+                return pose_nms(det, det_cfg.iou_threshold,
+                                det_cfg.oks_threshold,
+                                det_cfg.max_detections)
+
+            dets = jax.vmap(decode_one)(raw)            # leading K axis
+
+            def track_one(state, det):
+                state, aux = tracker_step(state, det, trk_cfg)
+                ids, scores, poses, boxes, emit = extract_outputs_device(
+                    state, det.scores, trk_cfg)
+                out = {"ids": ids, "scores": scores, "poses": poses,
+                       "boxes": boxes, "emit": emit,
+                       "num_active": aux["num_active"]}
+                return state, out
+
+            return jax.lax.scan(track_one, state, dets)
+
+        return chunk_step
+
+    def process_chunk(self, frames_bgr: np.ndarray):
+        """Process a chunk of frames: [K, H, W, 3] uint8 -> stacked
+        device outputs dict with leading K axis."""
+        k, h, w = frames_bgr.shape[:3]
+        key = ("chunk", k, h, w)
+        step = self._step_cache.get(key)
+        if step is None:
+            step = self._make_chunk_step(k, h, w)
+            self._step_cache[key] = step
+        flat = np.ascontiguousarray(frames_bgr).reshape(k, -1)
+        self.state, outs = step(self.params, self.state, jnp.asarray(flat))
+        self.timing["frames"] += k
+        return outs
+
     def process_frame(self, frame_bgr: np.ndarray, block: bool = False):
         """Enqueue one frame (uint8 HWC BGR); returns device outputs.
 

@@ -93,9 +93,18 @@ def draw_pose(frame: np.ndarray, keypoints: np.ndarray, color,
                        kp_radius, color, -1)
 
 
-def draw_all_tracks(frame: np.ndarray, tracks, conf_thresh: float = 0.3):
+def draw_all_tracks(frame: np.ndarray, tracks, conf_thresh: float = 0.3,
+                    use_native: bool = True):
     """Draw every track with its id-keyed color and label
-    (reference: drawAllTracks, video_utils.cpp:134-193)."""
+    (reference: drawAllTracks, video_utils.cpp:134-193).
+
+    Prefers the native C++ rasterizer (utils/native.py, one FFI call for
+    the whole frame); falls back to per-primitive cv2 drawing."""
+    if use_native:
+        from . import native
+        if native.available():
+            return native.draw_tracks_native(frame, tracks, TRACK_COLORS,
+                                             conf_thresh)
     cv2 = _cv2()
     for t in tracks:
         color = TRACK_COLORS[t.track_id % len(TRACK_COLORS)]

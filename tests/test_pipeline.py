@@ -15,6 +15,7 @@ SMALL = PipelineConfig(
                             max_candidates=32, max_detections=8),
     tracker=TrackerConfig(max_tracks=16, max_detections=8),
     model_name="yolov8n-pose",
+    precision="fp32",
 )
 
 
@@ -53,3 +54,23 @@ def test_pipeline_reset():
     pipe.reset()
     assert int(pipe.state.frame) == 0
     assert np.asarray(pipe.state.active).sum() == 0
+
+
+def test_pipeline_chunk_mode_matches_streaming():
+    # chunked (scan) processing must advance the tracker identically
+    pipe = PosePipeline(SMALL)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(4, 120, 160, 3), dtype=np.uint8)
+    outs = pipe.process_chunk(frames)
+    assert outs["emit"].shape == (4, SMALL.tracker.max_detections)
+    assert int(pipe.state.frame) == 4
+
+    pipe2 = PosePipeline(SMALL)
+    for i in range(4):
+        out2 = pipe2.process_frame(frames[i])
+    np.testing.assert_array_equal(np.asarray(outs["emit"][-1]),
+                                  np.asarray(out2["emit"]))
+    # batched vs per-frame convs differ in low-order bits; the tracked
+    # poses must agree to visual precision
+    np.testing.assert_allclose(np.asarray(outs["poses"][-1]),
+                               np.asarray(out2["poses"]), atol=0.5)
