@@ -137,17 +137,38 @@ class PosePipeline:
 
         return chunk_step
 
-    def process_chunk(self, frames_bgr: np.ndarray):
-        """Process a chunk of frames: [K, H, W, 3] uint8 -> stacked
-        device outputs dict with leading K axis."""
-        k, h, w = frames_bgr.shape[:3]
+    def _chunk_step_for(self, k: int, h: int, w: int):
         key = ("chunk", k, h, w)
         step = self._step_cache.get(key)
         if step is None:
             step = self._make_chunk_step(k, h, w)
             self._step_cache[key] = step
+        return step
+
+    def process_chunk(self, frames_bgr: np.ndarray):
+        """Process a chunk of frames: [K, H, W, 3] uint8 -> stacked
+        device outputs dict with leading K axis."""
+        k, h, w = frames_bgr.shape[:3]
+        step = self._chunk_step_for(k, h, w)
         flat = np.ascontiguousarray(frames_bgr).reshape(k, -1)
         self.state, outs = step(self.params, self.state, jnp.asarray(flat))
+        self.timing["frames"] += k
+        return outs
+
+    def stage_chunk(self, frames_bgr: np.ndarray):
+        """Transfer a chunk to the device ahead of time; the returned
+        handle can be passed to process_chunk_device. The TPU analogue of
+        the reference's preallocated pinned staging buffers
+        (gpu_tracker.cu:977-980): ingest cost is paid once / off the
+        critical path."""
+        k = frames_bgr.shape[0]
+        return jnp.asarray(np.ascontiguousarray(frames_bgr).reshape(k, -1))
+
+    def process_chunk_device(self, frames_flat_dev, h: int, w: int):
+        """Process a pre-staged (device-resident) chunk."""
+        k = frames_flat_dev.shape[0]
+        step = self._chunk_step_for(k, h, w)
+        self.state, outs = step(self.params, self.state, frames_flat_dev)
         self.timing["frames"] += k
         return outs
 
