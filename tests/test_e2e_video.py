@@ -1,0 +1,48 @@
+"""End-to-end video demo test: synthesize a clip, run the demo CLI,
+verify the output video exists and the loop completes."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def test_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/make_test_video.py"),
+         "--out", path, "--frames", "12", "--size", "320x240",
+         "--persons", "2"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+    return path
+
+
+def test_video_reader_writer(test_video, tmp_path):
+    from posebyte_tpu.utils.video import VideoReader, VideoWriter
+    reader = VideoReader(test_video)
+    assert reader.width == 320 and reader.height == 240
+    frames = list(reader)
+    assert len(frames) == 12
+    out = str(tmp_path / "copy.mp4")
+    writer = VideoWriter(out, 320, 240, 30.0)
+    for f in frames:
+        writer.write(f)
+    writer.release()
+    assert os.path.getsize(out) > 0
+
+
+def test_demo_cli_end_to_end(test_video, tmp_path):
+    from posebyte_tpu.cli.demo import main
+    out = str(tmp_path / "tracked.mp4")
+    rc = main(["-e", "yolov8n-pose", "-i", test_video, "-o", out,
+               "-c", "0.30", "--precision", "fp32", "-v"])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.getsize(out) > 0
