@@ -50,25 +50,54 @@ def conv_init(key, c_in: int, c_out: int, k: int = 1):
     return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
 
 
+# Active calibration recorder (models/quant.py sets this in eager mode
+# to collect per-conv activation ranges; None in production).
+_CALIBRATION_RECORDER = None
+
+
 def conv2d(params, x, stride: int = 1, groups: int = 1):
     """NHWC conv with torch-style symmetric k//2 padding.
 
-    Accepts float params {w, b} or int8-quantized {w int8, scale, b}
-    (models/quant.py); dequantization fuses into the conv epilogue."""
-    if "scale" in params:
-        w = params["w"].astype(x.dtype) * params["scale"].astype(x.dtype)
-    else:
-        w = params["w"].astype(x.dtype)
-    k = w.shape[0]
+    Three parameter flavors:
+      {w, b}                      float weights
+      {w int8, scale, b}          weight-only int8 (dequant in epilogue)
+      {w int8, scale, act_scale, b}  full int8 (w8a8): the activation
+          quantizes to int8 with the calibrated per-tensor scale and the
+          convolution runs on the MXU's int8 path with int32
+          accumulation — the TPU analog of the reference's TensorRT INT8
+          engines (yolo_pose_engine.cpp:243-332).
+    """
+    if _CALIBRATION_RECORDER is not None:
+        prev = _CALIBRATION_RECORDER.get(id(params), 0.0)
+        _CALIBRATION_RECORDER[id(params)] = max(
+            prev, float(jnp.max(jnp.abs(x))))
+
+    k = params["w"].shape[0]
     pad = k // 2
-    y = lax.conv_general_dilated(
-        x, w,
+    conv_kw = dict(
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=x.dtype,
     )
+
+    if "act_scale" in params and "scale" in params:
+        s_x = params["act_scale"].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127) \
+            .astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            xq, params["w"], preferred_element_type=jnp.int32, **conv_kw)
+        out = (y.astype(jnp.float32)
+               * (s_x * params["scale"].astype(jnp.float32))
+               + params["b"].astype(jnp.float32))
+        return out.astype(x.dtype)
+
+    if "scale" in params:
+        w = params["w"].astype(x.dtype) * params["scale"].astype(x.dtype)
+    else:
+        w = params["w"].astype(x.dtype)
+    y = lax.conv_general_dilated(x, w, preferred_element_type=x.dtype,
+                                 **conv_kw)
     return y + params["b"].astype(x.dtype)
 
 

@@ -62,41 +62,92 @@ def quantize_params(params, skip=PARTIAL_QUANT_SKIP):
         lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, out)
 
 
-def calibrate_and_quantize(params, name: str, calib_dir: str = "",
-                           input_size: int = 640):
-    """Calibration + quantization entry point (export CLI).
+def _load_calibration_images(calib_dir: str, input_size: int,
+                             max_images: int = 8):
+    """Load + letterbox calibration images (the analog of the
+    reference's Int8EntropyCalibrator feed loop,
+    yolo_pose_engine.cpp:78-142). Returns [N, S, S, 3] float32 or None."""
+    import os
+    try:
+        import cv2
+    except ImportError:
+        return None
+    if not os.path.isdir(calib_dir):
+        return None
+    from ..ops.preprocess import letterbox_image
+    imgs = []
+    for f in sorted(os.listdir(calib_dir))[:max_images]:
+        img = cv2.imread(os.path.join(calib_dir, f))
+        if img is None:
+            continue
+        imgs.append(np.asarray(letterbox_image(jnp.asarray(img),
+                                               input_size)))
+    if not imgs:
+        return None
+    return np.transpose(np.stack(imgs), (0, 2, 3, 1)).astype(np.float32)
 
-    Weight quantization needs no data. When a calibration directory is
-    given, images are run through the float model to sanity-check that
-    quantized outputs stay within tolerance (the analog of the
-    reference's calibration-cache build; activation-scale collection for
-    a full int8-MXU path hangs off this hook).
+
+def calibrate_activations(qparams, name: str, images: np.ndarray,
+                          percentile_headroom: float = 1.0):
+    """Collect per-conv activation amax by running the model eagerly
+    with a recorder hooked into layers.conv2d, then attach
+    `act_scale = amax / 127` to every already-weight-quantized conv —
+    enabling the full int8 (w8a8) MXU path.
+
+    This is the minmax analog of the reference's entropy calibration
+    (Int8EntropyCalibrator, yolo_pose_engine.cpp:56-164); the recorded
+    scales are the calibration cache and serialize with the engine.
     """
+    from . import layers as L
+    from .yolo_pose import MODEL_CONFIGS, forward_raw
+    recorder: dict = {}
+    L._CALIBRATION_RECORDER = recorder
+    try:
+        for i in range(images.shape[0]):
+            forward_raw(qparams, jnp.asarray(images[i:i + 1]),
+                        MODEL_CONFIGS[name].family)
+    finally:
+        L._CALIBRATION_RECORDER = None
+
+    n_attached = 0
+
+    def attach(node):
+        nonlocal n_attached
+        if isinstance(node, dict):
+            if "scale" in node and id(node) in recorder:
+                amax = recorder[id(node)] * percentile_headroom
+                node["act_scale"] = jnp.asarray(
+                    max(amax, 1e-6) / 127.0, jnp.float32)
+                n_attached += 1
+            else:
+                for v in node.values():
+                    attach(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                attach(v)
+
+    attach(qparams)
+    print(f"[quant] activation calibration: {n_attached} int8 convs "
+          f"over {images.shape[0]} images")
+    return qparams
+
+
+def calibrate_and_quantize(params, name: str, calib_dir: str = "",
+                           input_size: int = 640,
+                           synthetic_fallback: bool = True):
+    """Full INT8 build (export CLI): per-channel int8 weights with the
+    partial-quantization policy, plus activation calibration for the
+    w8a8 MXU path. Without calibration images, synthetic frames stand in
+    (scales are loose but functional); weight-only int8 remains the
+    fallback if calibration is disabled entirely."""
     qparams = quantize_params(params)
-    if calib_dir:
-        import os
-        from .yolo_pose import build_model
-        try:
-            import cv2
-        except ImportError:
-            cv2 = None
-        files = sorted(os.listdir(calib_dir))[:8] if os.path.isdir(
-            calib_dir) else []
-        if cv2 is not None and files:
-            from ..ops.preprocess import letterbox_image
-            apply_f, _ = build_model(name, jnp.bfloat16)
-            imgs = []
-            for f in files:
-                img = cv2.imread(os.path.join(calib_dir, f))
-                if img is None:
-                    continue
-                imgs.append(np.asarray(
-                    letterbox_image(jnp.asarray(img), input_size)))
-            if imgs:
-                x = jnp.transpose(jnp.asarray(np.stack(imgs)), (0, 2, 3, 1))
-                ref = apply_f(params, x)
-                q = apply_f(qparams, x)
-                err = float(jnp.mean(jnp.abs(ref - q)))
-                print(f"[quant] calibration check on {len(imgs)} images: "
-                      f"mean |Δraw| = {err:.4f}")
+    images = _load_calibration_images(calib_dir, input_size) \
+        if calib_dir else None
+    if images is None and synthetic_fallback:
+        rng = np.random.default_rng(0)
+        images = rng.uniform(0.0, 1.0, (2, input_size, input_size, 3)) \
+            .astype(np.float32)
+        print("[quant] no calibration images; using synthetic frames")
+    if images is not None:
+        qparams = calibrate_activations(qparams, name, images)
     return qparams

@@ -300,6 +300,16 @@ def load_params(path: str, name: str = None):
 
     def fill(node, prefix=""):
         if isinstance(node, dict):
+            # A conv saved in quantized form gains scale/act_scale keys
+            # not present in the random-init structure.
+            if set(node) == {"w", "b"} and f"{prefix}scale" in flat:
+                out = {"w": jnp.asarray(flat[f"{prefix}w"]),
+                       "scale": jnp.asarray(flat[f"{prefix}scale"]),
+                       "b": jnp.asarray(flat[f"{prefix}b"])}
+                if f"{prefix}act_scale" in flat:
+                    out["act_scale"] = jnp.asarray(
+                        flat[f"{prefix}act_scale"])
+                return out
             return {k: fill(v, f"{prefix}{k}.") for k, v in node.items()}
         if isinstance(node, list):
             return [fill(v, f"{prefix}{i}.") for i, v in enumerate(node)]

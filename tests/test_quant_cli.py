@@ -65,3 +65,42 @@ def test_benchmark_cli_json(capsys):
     for key in ["kalman136_predict_ms", "oks_50x100_ms",
                 "auction_50x50_ms", "pose_nms_100_ms", "tracker_step_ms"]:
         assert key in data and data[key] > 0
+
+
+def test_w8a8_calibration_and_forward():
+    from posebyte_tpu.models.quant import (quantize_params,
+                                           calibrate_activations)
+    apply_fn, init_fn = build_model("yolov8n-pose")
+    params = init_fn(jax.random.PRNGKey(0))
+    q = quantize_params(params)
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    q = calibrate_activations(q, "yolov8n-pose", imgs)
+    # act_scale attached to quantized convs only
+    assert "act_scale" in q["b9"]["cv1"]
+    assert "act_scale" not in q["b0"]
+    # forward runs through the int8 path and stays close on confidences
+    x = jnp.asarray(imgs[:1])
+    ref = jax.jit(apply_fn)(params, x)
+    got = jax.jit(apply_fn)(q, x)
+    np.testing.assert_allclose(np.asarray(got[0, 4]),
+                               np.asarray(ref[0, 4]), atol=0.15)
+
+
+def test_int8_engine_save_load_roundtrip(tmp_path):
+    from posebyte_tpu.models.quant import calibrate_and_quantize
+    from posebyte_tpu.models.weights import save_params, load_params
+    _, init_fn = build_model("yolov8n-pose")
+    params = init_fn(jax.random.PRNGKey(1))
+    q = calibrate_and_quantize(params, "yolov8n-pose", input_size=64)
+    path = str(tmp_path / "int8.safetensors")
+    save_params(q, path, "yolov8n-pose")
+    loaded, name = load_params(path)
+    assert name == "yolov8n-pose"
+    assert loaded["b9"]["cv1"]["w"].dtype == jnp.int8
+    assert "act_scale" in loaded["b9"]["cv1"]
+    # int8 engine size is much smaller than fp32
+    import os
+    fp32_path = str(tmp_path / "fp32.safetensors")
+    save_params(params, fp32_path, "yolov8n-pose")
+    assert os.path.getsize(path) < 0.45 * os.path.getsize(fp32_path)
