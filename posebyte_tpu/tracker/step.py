@@ -57,12 +57,22 @@ from ..ops.oks import oks_matrix, torso_oks_matrix
 LOCK_COST = 1e9
 
 
+def _auction(cost: jnp.ndarray, active: jnp.ndarray):
+    """Auction dispatch: the fused Pallas kernel on TPU (all rounds in
+    VMEM, one HBM read/write — ops/pallas_kernels.py), the XLA fori_loop
+    version elsewhere. Identical results (tests/test_pallas_kernels.py)."""
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_kernels import auction_assign_pallas
+        return auction_assign_pallas(cost, active)
+    return auction_assign(cost, active)
+
+
 def _tier_assign(cost: jnp.ndarray, active: jnp.ndarray,
                  row_assign: jnp.ndarray, col_assign: jnp.ndarray):
     """Run one auction tier on `cost`, then merge so prior assignments
     win (kernelMergeAssignments, gpu_tracker.cu:575-588). Pairs already
     matched must carry LOCK_COST in `cost`."""
-    new_row, new_col = auction_assign(cost, active)
+    new_row, new_col = _auction(cost, active)
     row = jnp.where(row_assign >= 0, row_assign, new_row)
     col = jnp.where(col_assign >= 0, col_assign, new_col)
     return row, col
