@@ -42,7 +42,7 @@ def main():
     pipe = PosePipeline(config)
 
     rng = np.random.default_rng(42)
-    K, H, W = 32, 720, 1280
+    K, H, W = 64, 720, 1280
     n_staged = 4
 
     # Stage distinct-content chunks on device and warm each through the
@@ -84,7 +84,7 @@ def main():
         "p90_stream_ms": round(float(np.percentile(lat, 90)), 3),
         "frames": n_frames,
         "chunk": K,
-        "note": "steady-state 32-frame chunks, staged device buffers",
+        "note": f"steady-state {K}-frame chunks, staged device buffers",
         "device": str(jax.devices()[0]),
         "precision": "bf16",
     }
