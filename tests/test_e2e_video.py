@@ -46,3 +46,12 @@ def test_demo_cli_end_to_end(test_video, tmp_path):
                "-c", "0.30", "--precision", "fp32", "-v"])
     assert rc == 0
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_demo_cli_chunked(test_video, tmp_path):
+    from posebyte_tpu.cli.demo import main
+    out = str(tmp_path / "tracked_chunk.mp4")
+    rc = main(["-e", "yolov8n-pose", "-i", test_video, "-o", out,
+               "-c", "0.30", "--precision", "fp32", "--chunk", "4"])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.getsize(out) > 0
