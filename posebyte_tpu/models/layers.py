@@ -105,6 +105,51 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
+def conv2d_s2d(params, x):
+    """EXACT space-to-depth reformulation of a k3 stride-2 conv.
+
+    Low-channel stride-2 stem convs waste MXU lanes (3 of 128 on the
+    first layer). Packing each 2x2 pixel cell into channels
+    (HxWxC -> H/2 x W/2 x 4C) and rewriting the 3x3/s2 kernel as an
+    equivalent 2x2/s1 kernel over cells quadruples lane utilization and
+    quarters the spatial iteration space — bit-exact, including the
+    asymmetric cell padding that reproduces the original pad=1.
+    Tap mapping: absolute offset dy-1 lands in cell (y-1, py=1) for
+    dy=0, (y, py=dy-1) for dy in {1, 2}; same along x.
+    """
+    w = params["w"]                       # [3, 3, C, O]
+    assert w.shape[0] == 3 and w.shape[1] == 3
+    B, H, W, C = x.shape
+    O = w.shape[-1]
+
+    x2 = x.reshape(B, H // 2, 2, W // 2, 2, C) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+    w2 = jnp.zeros((2, 2, 4 * C, O), w.dtype)
+    for dy in range(3):
+        cy, py = (0, 1) if dy == 0 else (1, dy - 1)
+        for dx in range(3):
+            cx, px = (0, 1) if dx == 0 else (1, dx - 1)
+            ch = (py * 2 + px) * C
+            w2 = w2.at[cy, cx, ch:ch + C, :].set(w[dy, dx])
+
+    if "scale" in params:
+        w2 = w2.astype(jnp.float32) * params["scale"]
+    y = lax.conv_general_dilated(
+        x2, w2.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return y + params["b"].astype(x.dtype)
+
+
+def conv_block_s2d(params, x):
+    """silu(conv2d_s2d(...)) — drop-in for conv_block(params, x, 2)."""
+    return silu(conv2d_s2d(params, x))
+
+
 def conv_block(params, x, stride: int = 1, groups: int = 1):
     """Conv + (folded) BN + SiLU — ultralytics `Conv`."""
     return silu(conv2d(params, x, stride, groups))

@@ -167,6 +167,10 @@ def init_params(key, name: str = "yolov8n-pose"):
 # Forward pass
 # ---------------------------------------------------------------------------
 
+# NOTE: an exact space-to-depth stem rewrite exists (layers.conv2d_s2d,
+# verified bit-identical in tests/test_models.py) but measured ~7%
+# SLOWER than the plain stride-2 convs on v5e — current XLA already
+# optimizes the low-channel stem. Kept as an op for future compilers.
 def _backbone_neck_v8(p, x):
     x = L.conv_block(p["b0"], x, 2)
     x = L.conv_block(p["b1"], x, 2)
