@@ -42,7 +42,7 @@ def main():
     pipe = PosePipeline(config)
 
     rng = np.random.default_rng(42)
-    K, H, W = 64, 720, 1280
+    K, H, W = 128, 720, 1280
     n_staged = 4
 
     # Stage distinct-content chunks on device and warm each through the
@@ -56,7 +56,7 @@ def main():
     jax.block_until_ready(out["emit"])
 
     # Throughput: steady-state chunk loop, tracker state threaded.
-    n_chunks = 12
+    n_chunks = 8
     t_start = time.perf_counter()
     for i in range(n_chunks):
         out = pipe.process_chunk_device(staged[i % n_staged], H, W)

@@ -10,7 +10,9 @@ from .assignment import (auction_assign, greedy_assign, auction_iterations,
 from .kalman import cv_predict, cv_update, Kalman136
 from .decode import decode_yolo_output, decode_yolo_output_batch
 from .nms import pose_nms, nms_overlap_matrix
-from .preprocess import letterbox_image, letterbox_params, unletterbox_coords
+from .legacy_nms import legacy_pose_nms, legacy_oks_pair_matrix
+from .preprocess import (letterbox_image, letterbox_flat, letterbox_params,
+                         unletterbox_coords)
 
 __all__ = [
     "masked_pose_bbox", "pose_centers", "pose_area", "boxes_iou_matrix",
@@ -19,6 +21,7 @@ __all__ = [
     "auction_assign", "greedy_assign", "auction_iterations",
     "filter_matches_by_threshold", "cv_predict", "cv_update", "Kalman136",
     "decode_yolo_output", "decode_yolo_output_batch", "pose_nms",
-    "nms_overlap_matrix", "letterbox_image", "letterbox_params",
+    "nms_overlap_matrix", "legacy_pose_nms", "legacy_oks_pair_matrix",
+    "letterbox_image", "letterbox_flat", "letterbox_params",
     "unletterbox_coords",
 ]

@@ -86,3 +86,14 @@ def test_kalman_checkpoint_roundtrip(tmp_path):
     loaded = load_kalman_state(path)
     np.testing.assert_array_equal(np.asarray(ks.mean),
                                   np.asarray(loaded.mean))
+
+
+def test_profile_tracker_stages(random_pose_factory):
+    from posebyte_tpu.utils.profiling import profile_tracker_stages
+    det = make_det(random_pose_factory())
+    state = TrackerState.init(CFG.max_tracks, CFG.max_detections)
+    state, _ = tracker_step(state, det, CFG)
+    t = profile_tracker_stages(state, det, CFG, iters=2)
+    assert t.frame_count == 2
+    assert t.predict_us > 0 and t.high_assoc_us > 0 and t.total_us > 0
+    t.print_stats()
