@@ -150,7 +150,9 @@ def init_params(key, name: str = "yolov8n-pose"):
         p["b10"] = L.c2psa_init(next(keys), ch(1024), d2)
         p["h13"] = L.c3k2_init(next(keys), ch(1024) + ch(512), ch(512), d2,
                                ck)
-        p["h16"] = L.c3k2_init(next(keys), ch(512) + ch(256), ch(256), d2,
+        # NOTE: v11's backbone layer 4 outputs ch(512) (unlike v8's
+        # ch(256)), so the P3 concat is 2*ch(512).
+        p["h16"] = L.c3k2_init(next(keys), ch(512) + ch(512), ch(256), d2,
                                ck)
         p["h17"] = L.conv_init(next(keys), ch(256), ch(256), 3)
         p["h19"] = L.c3k2_init(next(keys), ch(256) + ch(512), ch(512), d2,

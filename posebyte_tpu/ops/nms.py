@@ -94,7 +94,9 @@ def _greedy_keep(overlap_sorted: jnp.ndarray,
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("max_keep",))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                   static_argnames=("iou_threshold", "oks_threshold",
+                                    "max_keep"))
 def pose_nms(det: Detections, iou_threshold: float = 0.55,
              oks_threshold: float = 0.55,
              max_keep: int = C.DEFAULT_MAX_DETECTIONS) -> Detections:
@@ -103,12 +105,20 @@ def pose_nms(det: Detections, iou_threshold: float = 0.55,
     kernelSortByScore -> kernelApplyNMSMask -> kernelCompactDetections,
     gpu_postprocess.cu:178-313)."""
     N = det.capacity
-    overlap = nms_overlap_matrix(det, iou_threshold, oks_threshold)
     order = jnp.argsort(-jnp.where(det.valid, det.scores, -jnp.inf))
-
-    overlap_sorted = overlap[order][:, order]
     valid_sorted = det.valid[order]
-    keep_ranked = _greedy_keep(overlap_sorted, valid_sorted)
+
+    if jax.default_backend() == "tpu":
+        # Fused Pallas kernel: overlap matrix + greedy fixed point in one
+        # VMEM-resident pass (bit-identical; tests/test_pallas_kernels.py).
+        from .pallas_kernels import nms_keep_pallas
+        keep_ranked = nms_keep_pallas(det.poses[order], det.boxes[order],
+                                      valid_sorted, iou_threshold,
+                                      oks_threshold)
+    else:
+        overlap = nms_overlap_matrix(det, iou_threshold, oks_threshold)
+        overlap_sorted = overlap[order][:, order]
+        keep_ranked = _greedy_keep(overlap_sorted, valid_sorted)
 
     # Compact survivors to the front in score order (kernelCompactDetections).
     pos = jnp.cumsum(keep_ranked.astype(jnp.int32)) - 1        # [N]

@@ -117,3 +117,130 @@ def auction_assign_pallas(cost: jnp.ndarray,
     row_assign = jnp.where(row_assign >= C, -1, row_assign)
     col_assign = jnp.where(col_assign >= R, -1, col_assign)
     return row_assign, col_assign
+
+
+# ---------------------------------------------------------------------------
+# Fused pose-NMS kernel: overlap matrix + greedy fixed point in VMEM
+# ---------------------------------------------------------------------------
+
+def _nms_kernel(xr_ref, xc_ref, yr_ref, yc_ref, cr_ref, cc_ref,
+                br_ref, bc_ref, valid_ref, sig_ref, keep_ref,
+                *, num_kp: int, iou_threshold: float,
+                oks_threshold: float):
+    """Inputs are score-sorted. Layouts: *r = [pad, N] row-broadcast
+    copies, *c = [N, pad] column-broadcast copies; boxes b* hold
+    x1,y1,x2,y2 in slots 0-3; valid [1, N] int32; sig [1, pad(kp)] holds
+    4*sigma^2. Output keep [1, N] int32 (rank space)."""
+    N = xr_ref.shape[1]
+
+    # --- pairwise IoU from boxes ----------------------------------------
+    x1r = br_ref[0:1, :]; y1r = br_ref[1:2, :]
+    x2r = br_ref[2:3, :]; y2r = br_ref[3:4, :]
+    x1c = bc_ref[:, 0:1]; y1c = bc_ref[:, 1:2]
+    x2c = bc_ref[:, 2:3]; y2c = bc_ref[:, 3:4]
+
+    ix = jnp.maximum(0.0, jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r))
+    iy = jnp.maximum(0.0, jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r))
+    inter = ix * iy                                        # [N,N]
+    area_c = (x2c - x1c) * (y2c - y1c)                     # [N,1]
+    area_r = (x2r - x1r) * (y2r - y1r)                     # [1,N]
+    union = area_c + area_r - inter
+    iou = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+
+    scale_sq = jnp.maximum(jnp.maximum(area_c, area_r), 32.0 * 32.0)
+
+    # --- OKS accumulation over keypoints (statically unrolled) -----------
+    oks_sum = jnp.zeros((N, N), jnp.float32)
+    count = jnp.zeros((N, N), jnp.int32)
+    for kp in range(num_kp):
+        dx = xc_ref[:, kp:kp + 1] - xr_ref[kp:kp + 1, :]
+        dy = yc_ref[:, kp:kp + 1] - yr_ref[kp:kp + 1, :]
+        dist_sq = dx * dx + dy * dy
+        sig4 = sig_ref[0, kp]
+        oks_kp = jnp.exp(-dist_sq / (2.0 * scale_sq * sig4))
+        vis = (cc_ref[:, kp:kp + 1] > 0.2) & (cr_ref[kp:kp + 1, :] > 0.2)
+        oks_sum = oks_sum + jnp.where(vis, oks_kp, 0.0)
+        count = count + vis.astype(jnp.int32)
+    oks = jnp.where(count >= 3,
+                    oks_sum / jnp.maximum(count, 1).astype(jnp.float32),
+                    0.0)
+
+    overlap = (iou > iou_threshold) | (
+        (count >= 3) & ((oks > oks_threshold)
+                        | ((oks > 0.4) & (iou > 0.2))))
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+    eye = row_ids == col_ids
+
+    valid_row = valid_ref[0:1, :] > 0                       # [1,N]
+    # Mosaic cannot legalize 2-D transposes here; derive the column
+    # orientation of a [1,N] row vector via the identity mask instead.
+    def to_col(v_row):                                       # [1,N]->[N,1]
+        return jnp.any(eye & v_row, axis=1, keepdims=True)
+
+    valid_col = to_col(valid_row)                            # [N,1]
+    # dominance: earlier (higher score) row j suppresses column i
+    dom = overlap & valid_row & valid_col & (row_ids < col_ids)
+
+    # --- Jacobi fixed point to the exact greedy solution -----------------
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < N) & jnp.any(keep != prev)
+
+    def body(carry):
+        keep, _, it = carry                                  # keep [1,N]
+        keep_col = to_col(keep)                              # [N,1]
+        suppressed = jnp.any(dom & keep_col, axis=0,
+                             keepdims=True)                  # [1,N]
+        new = valid_row & ~suppressed
+        return new, keep, it + 1
+
+    keep0 = valid_row
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
+    keep_ref[:] = keep.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",
+                                              "oks_threshold",
+                                              "interpret"))
+def nms_keep_pallas(poses_sorted: jnp.ndarray, boxes_sorted: jnp.ndarray,
+                    valid_sorted: jnp.ndarray, iou_threshold: float,
+                    oks_threshold: float, interpret: bool = False):
+    """Fused NMS keep-mask over score-sorted detections.
+
+    poses [N,17,3], boxes [N,4], valid [N] -> keep [N] bool (rank space).
+    Semantics identical to nms.nms_overlap_matrix + nms._greedy_keep.
+    """
+    from ..core import constants as C
+
+    N = poses_sorted.shape[0]
+    KP = C.NUM_KEYPOINTS
+    KPp = 32                          # pad keypoint axis for sublane/lane
+    x = poses_sorted[:, :, 0].astype(jnp.float32)       # [N,17]
+    y = poses_sorted[:, :, 1].astype(jnp.float32)
+    c = poses_sorted[:, :, 2].astype(jnp.float32)
+
+    def pad_cols(a):                  # [N,17] -> [N,KPp]
+        return jnp.pad(a, ((0, 0), (0, KPp - KP)))
+
+    def rows(a):                      # [N,17] -> [KPp,N]
+        return jnp.transpose(pad_cols(a))
+
+    b_rows = jnp.transpose(jnp.pad(boxes_sorted.astype(jnp.float32),
+                                   ((0, 0), (0, 4))))   # [8,N]
+    b_cols = jnp.pad(boxes_sorted.astype(jnp.float32), ((0, 0), (0, 4)))
+    sig = jnp.pad((4.0 * jnp.asarray(C.COCO_SIGMAS) ** 2)[None, :],
+                  ((0, 0), (0, KPp - KP)), constant_values=1.0)
+
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel, num_kp=KP,
+                          iou_threshold=float(iou_threshold),
+                          oks_threshold=float(oks_threshold)),
+        out_shape=jax.ShapeDtypeStruct((1, N), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows(x), pad_cols(x), rows(y), pad_cols(y), rows(c), pad_cols(c),
+      b_rows, b_cols, valid_sorted.astype(jnp.int32)[None, :], sig)
+    return keep[0] > 0

@@ -51,3 +51,17 @@ def test_head_output_rows_are_pixel_space():
     assert (kp_conf >= 0).all() and (kp_conf <= 1).all()
     # boxes live in input-pixel space
     assert raw[0].max() <= 64 * 2 and raw[0].min() >= -64
+
+
+import pytest
+from posebyte_tpu.models import MODEL_CONFIGS
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_CONFIGS))
+def test_every_model_forward(name):
+    apply_fn, init_fn = build_model(name)
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = jax.jit(apply_fn)(params, x)
+    assert out.shape == (1, 56, 84)
+    assert bool(jnp.isfinite(out).all())

@@ -34,3 +34,36 @@ def test_auction_pallas_tracker_shape(rng):
     cost = rng.uniform(0, 1, (128, 64)).astype(np.float32)
     cost[rng.uniform(size=(128, 64)) < 0.7] = 1e9   # sparse gating
     _check_equiv(cost)
+
+
+def test_nms_keep_pallas_matches_xla(rng):
+    from posebyte_tpu.core.structs import Detections
+    from posebyte_tpu.ops.nms import nms_overlap_matrix, _greedy_keep
+    from posebyte_tpu.ops.pallas_kernels import nms_keep_pallas
+
+    n = 64
+    poses = rng.uniform(0, 640, (n, 17, 3)).astype(np.float32)
+    poses[..., 2] = rng.uniform(0, 1, (n, 17))
+    # clusters to force suppression chains
+    poses[1::4] = poses[0::4] + rng.normal(0, 3, poses[1::4].shape) \
+        .astype(np.float32)
+    boxes = np.zeros((n, 4), np.float32)
+    boxes[:, 0] = poses[..., 0].min(axis=1)
+    boxes[:, 1] = poses[..., 1].min(axis=1)
+    boxes[:, 2] = poses[..., 0].max(axis=1)
+    boxes[:, 3] = poses[..., 1].max(axis=1)
+    scores = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-5:] = False
+
+    order = np.argsort(-np.where(valid, scores, -np.inf))
+    det_sorted = Detections(
+        poses=jnp.asarray(poses[order]), boxes=jnp.asarray(boxes[order]),
+        scores=jnp.asarray(scores[order]), valid=jnp.asarray(valid[order]))
+
+    overlap = nms_overlap_matrix(det_sorted, 0.55, 0.55)
+    want = np.asarray(_greedy_keep(overlap, det_sorted.valid))
+    got = np.asarray(nms_keep_pallas(det_sorted.poses, det_sorted.boxes,
+                                     det_sorted.valid, 0.55, 0.55,
+                                     interpret=True))
+    np.testing.assert_array_equal(got, want)
