@@ -182,23 +182,22 @@ def _nms_kernel(xr_ref, xc_ref, yr_ref, yc_ref, cr_ref, cc_ref,
     # dominance: earlier (higher score) row j suppresses column i
     dom = overlap & valid_row & valid_col & (row_ids < col_ids)
 
-    # --- Jacobi fixed point to the exact greedy solution -----------------
-    def cond(carry):
-        keep, prev, it = carry
-        return (it < N) & jnp.any(keep != prev)
-
-    def body(carry):
-        keep, _, it = carry                                  # keep [1,N]
-        keep_col = to_col(keep)                              # [N,1]
+    # --- Jacobi iteration to the greedy solution --------------------------
+    # Mosaic cannot lower a convergence-checked while_loop here, so run a
+    # fixed number of sweeps. Each sweep is idempotent once converged;
+    # convergence needs (longest suppression chain + 1) sweeps, so 24
+    # sweeps are exact for chains up to 23 deep — far beyond anything
+    # real pose data produces (typical depth 2-4). The XLA fallback
+    # (ops/nms.py) retains the fully general convergence check.
+    # (int32 carry: Mosaic rejects boolean loop carries)
+    def body(_, keep_i32):
+        keep_col = to_col(keep_i32 > 0)                      # [N,1]
         suppressed = jnp.any(dom & keep_col, axis=0,
                              keepdims=True)                  # [1,N]
-        new = valid_row & ~suppressed
-        return new, keep, it + 1
+        return (valid_row & ~suppressed).astype(jnp.int32)
 
-    keep0 = valid_row
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
-    keep_ref[:] = keep.astype(jnp.int32)
+    keep = jax.lax.fori_loop(0, 24, body, valid_row.astype(jnp.int32))
+    keep_ref[:] = keep
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold",
