@@ -2,5 +2,14 @@
 from .yolo_pose import (MODEL_CONFIGS, ModelConfig, build_model, init_params,
                         forward_raw, make_anchors)
 
+
+def __getattr__(name):
+    # Lazy: engine pulls in weights/quant machinery.
+    if name == "YoloPoseEngine":
+        from .engine import YoloPoseEngine
+        return YoloPoseEngine
+    raise AttributeError(name)
+
+
 __all__ = ["MODEL_CONFIGS", "ModelConfig", "build_model", "init_params",
-           "forward_raw", "make_anchors"]
+           "forward_raw", "make_anchors", "YoloPoseEngine"]
