@@ -1,6 +1,7 @@
 """YOLO-pose model family (reference: TensorRT engine + ONNX exports)."""
-from .yolo_pose import (MODEL_CONFIGS, ModelConfig, build_model, init_params,
-                        forward_raw, make_anchors)
+from .yolo_pose import (MODEL_CONFIGS, ModelConfig, build_model,
+                        build_model_heads, init_params, forward_raw,
+                        forward_heads, make_anchors)
 
 
 def __getattr__(name):
@@ -11,5 +12,6 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
-__all__ = ["MODEL_CONFIGS", "ModelConfig", "build_model", "init_params",
-           "forward_raw", "make_anchors", "YoloPoseEngine"]
+__all__ = ["MODEL_CONFIGS", "ModelConfig", "build_model",
+           "build_model_heads", "init_params", "forward_raw",
+           "forward_heads", "make_anchors", "YoloPoseEngine"]

@@ -62,3 +62,57 @@ def decode_yolo_output_batch(raw: jnp.ndarray, conf_threshold: float,
     return jax.vmap(
         lambda r: decode_yolo_output(r, conf_threshold, max_candidates)
     )(raw)
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",
+                                             "input_size"))
+def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
+                kpt_raw: jnp.ndarray, conf_threshold: float,
+                max_candidates: int, input_size: int) -> Detections:
+    """Sparse decode: select top-K anchors on confidence FIRST, then run
+    the DFL softmax and keypoint decode only for those K.
+
+    Numerically identical to decode_yolo_output(forward_raw(...)) — the
+    confidence ranking uses the same sigmoid values, and per-anchor
+    decode math is unchanged — but does 8400/K times less decode-tail
+    work (the dense tail measured ~24% of the whole model pass at
+    batch 128). Single-image: box [A,64], cls [A,1], kpt [A,51].
+    """
+    from ..models.yolo_pose import REG_MAX, make_anchors
+
+    A = box_logits.shape[0]
+    conf = jax.nn.sigmoid(cls_logits[:, 0].astype(jnp.float32))   # [A]
+    passing = conf >= conf_threshold
+    ranked = jnp.where(passing, conf, -1.0)
+    k = min(max_candidates, A)
+    top_conf, top_idx = jax.lax.top_k(ranked, k)
+    valid = top_conf > 0.0
+
+    anchors_np, strides_np = make_anchors(input_size)
+    anchors = jnp.asarray(anchors_np)[top_idx]            # [K, 2]
+    strides = jnp.asarray(strides_np)[top_idx]            # [K]
+
+    bl = box_logits[top_idx].astype(jnp.float32)          # [K, 64]
+    prob = jax.nn.softmax(bl.reshape(k, 4, REG_MAX), axis=-1)
+    d = jnp.einsum("kfr,r->kf", prob,
+                   jnp.arange(REG_MAX, dtype=jnp.float32))
+    lt, rb = d[:, :2], d[:, 2:]
+    x1y1 = (anchors - lt) * strides[:, None]
+    x2y2 = (anchors + rb) * strides[:, None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)        # [K,4] xyxy
+
+    k3 = kpt_raw[top_idx].reshape(k, C.NUM_KEYPOINTS, 3) \
+        .astype(jnp.float32)
+    kxy = (k3[..., :2] * 2.0 + (anchors[:, None, :] - 0.5)) \
+        * strides[:, None, None]
+    kconf = jax.nn.sigmoid(k3[..., 2:3])
+    poses = jnp.concatenate([kxy, kconf], axis=-1)        # [K,17,3]
+
+    z = valid[:, None]
+    scores = jnp.where(valid, conf[top_idx], 0.0)
+    return Detections(
+        poses=jnp.where(z[..., None], poses, 0.0),
+        boxes=jnp.where(z, boxes, 0.0),
+        scores=scores,
+        valid=valid,
+    )

@@ -23,8 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.config import PipelineConfig
 from ..core.structs import TrackerState
-from ..models import build_model
-from ..ops.decode import decode_yolo_output
+from ..models import build_model_heads
+from ..ops.decode import decode_topk
 from ..ops.nms import pose_nms
 from ..ops.preprocess import letterbox_image
 from ..tracker.step import tracker_step
@@ -40,13 +40,14 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
-                        apply_fn):
+                        heads_fn):
     """Unbatched fused step (shared with PosePipeline semantics)."""
     det_cfg = config.detector
     img = letterbox_image(frame_u8, det_cfg.input_size)
-    raw = apply_fn(params, jnp.transpose(img, (1, 2, 0))[None])
-    det = decode_yolo_output(raw[0], det_cfg.conf_threshold,
-                             det_cfg.max_candidates)
+    box, cls, kpt = heads_fn(params,
+                             jnp.transpose(img, (1, 2, 0))[None])
+    det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
+                      det_cfg.max_candidates, det_cfg.input_size)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                    det_cfg.max_detections)
     state, aux = tracker_step(state, det, config.tracker)
@@ -72,7 +73,8 @@ class MultiStreamPipeline:
         self.config = config
         self.num_streams = num_streams
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.apply_fn, init_fn = build_model(config.model_name, dtype)
+        self.heads_fn, init_fn = build_model_heads(config.model_name,
+                                                   dtype)
         self.params = params if params is not None else \
             init_fn(jax.random.PRNGKey(seed))
 
@@ -88,7 +90,7 @@ class MultiStreamPipeline:
 
         vstep = jax.vmap(
             functools.partial(_single_stream_step, config=config,
-                              apply_fn=self.apply_fn),
+                              heads_fn=self.heads_fn),
             in_axes=(None, 0, 0))
         self._step = jax.jit(
             vstep,

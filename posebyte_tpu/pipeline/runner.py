@@ -27,22 +27,26 @@ import numpy as np
 
 from ..core.config import DetectorConfig, PipelineConfig
 from ..core.structs import TrackerState
-from ..models import build_model
-from ..ops.decode import decode_yolo_output
+from ..models import build_model, build_model_heads
+from ..ops.decode import decode_topk
 from ..ops.nms import pose_nms
 from ..ops.preprocess import letterbox_flat, letterbox_params
 from ..tracker.output import extract_outputs_device, TrackOutput
 from ..tracker.step import tracker_step
 
 
-def detect_fn(params, image_chw, det_cfg: DetectorConfig, apply_fn):
+def detect_fn(params, image_chw, det_cfg: DetectorConfig, heads_fn):
     """Single-image detect: [3, S, S] float input -> NMS'd Detections.
 
     Equivalent of YoloPoseEngine::detectGPUNative
-    (reference: yolo_pose_engine.cpp:610-646)."""
-    raw = apply_fn(params, jnp.transpose(image_chw, (1, 2, 0))[None])
-    det = decode_yolo_output(raw[0], det_cfg.conf_threshold,
-                             det_cfg.max_candidates)
+    (reference: yolo_pose_engine.cpp:610-646). Uses the sparse decode
+    path: top-K candidate selection on confidence, then DFL/keypoint
+    decode for only those K (numerically identical to the dense path,
+    ~30x less decode work)."""
+    box, cls, kpt = heads_fn(params,
+                             jnp.transpose(image_chw, (1, 2, 0))[None])
+    det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
+                      det_cfg.max_candidates, det_cfg.input_size)
     return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                     det_cfg.max_detections)
 
@@ -62,6 +66,7 @@ class PosePipeline:
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
         self.apply_fn, init_fn = build_model(config.model_name, dtype)
+        self.heads_fn, _ = build_model_heads(config.model_name, dtype)
         if params is None:
             params = init_fn(jax.random.PRNGKey(seed))
         self.params = params
@@ -74,12 +79,12 @@ class PosePipeline:
     def _make_step(self, h: int, w: int):
         det_cfg = self.config.detector
         trk_cfg = self.config.tracker
-        apply_fn = self.apply_fn
+        heads_fn = self.heads_fn
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, state, frame_flat_u8):
             img = letterbox_flat(frame_flat_u8, w, h, det_cfg.input_size)
-            det = detect_fn(params, img, det_cfg, apply_fn)
+            det = detect_fn(params, img, det_cfg, heads_fn)
             state, aux = tracker_step(state, det, trk_cfg)
             ids, scores, poses, boxes, emit = extract_outputs_device(
                 state, det.scores, trk_cfg)
@@ -105,7 +110,7 @@ class PosePipeline:
         chunk, one executable, one small D2H."""
         det_cfg = self.config.detector
         trk_cfg = self.config.tracker
-        apply_fn = self.apply_fn
+        heads_fn = self.heads_fn
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_step(params, state, frames_flat_u8):
@@ -113,16 +118,18 @@ class PosePipeline:
             imgs = jax.vmap(
                 lambda f: letterbox_flat(f, w, h, det_cfg.input_size)
             )(frames_flat_u8)                          # [K, 3, S, S]
-            raw = apply_fn(params, jnp.transpose(imgs, (0, 2, 3, 1)))
+            box, cls, kpt = heads_fn(params,
+                                     jnp.transpose(imgs, (0, 2, 3, 1)))
 
-            def decode_one(r):
-                det = decode_yolo_output(r, det_cfg.conf_threshold,
-                                         det_cfg.max_candidates)
+            def decode_one(b, c, k):
+                det = decode_topk(b, c, k, det_cfg.conf_threshold,
+                                  det_cfg.max_candidates,
+                                  det_cfg.input_size)
                 return pose_nms(det, det_cfg.iou_threshold,
                                 det_cfg.oks_threshold,
                                 det_cfg.max_detections)
 
-            dets = jax.vmap(decode_one)(raw)            # leading K axis
+            dets = jax.vmap(decode_one)(box, cls, kpt)  # leading K axis
 
             def track_one(state, det):
                 state, aux = tracker_step(state, det, trk_cfg)

@@ -136,3 +136,32 @@ def test_unletterbox_roundtrip():
     xy = jnp.asarray([[320.0, 320.0]])
     back = np.asarray(unletterbox_coords(xy, 1920, 1080, 640))
     np.testing.assert_allclose(back[0], [960.0, 540.0], rtol=1e-5)
+
+
+def test_decode_topk_matches_dense_path():
+    import jax
+    from posebyte_tpu.models import build_model, build_model_heads
+    from posebyte_tpu.ops.decode import decode_topk
+
+    apply_fn, init_fn = build_model("yolov8n-pose")
+    heads_fn, _ = build_model_heads("yolov8n-pose")
+    params = init_fn(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3))
+
+    raw = jax.jit(apply_fn)(params, x)
+    dense = decode_yolo_output(raw[0], 0.25, 32)
+
+    box, cls, kpt = jax.jit(heads_fn)(params, x)
+    sparse = jax.jit(lambda b, c, k: decode_topk(b, c, k, 0.25, 32, 128))(
+        box[0], cls[0], kpt[0])
+
+    np.testing.assert_array_equal(np.asarray(dense.valid),
+                                  np.asarray(sparse.valid))
+    np.testing.assert_allclose(np.asarray(dense.scores),
+                               np.asarray(sparse.scores), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dense.boxes),
+                               np.asarray(sparse.boxes), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dense.poses),
+                               np.asarray(sparse.poses), rtol=1e-4,
+                               atol=1e-3)
