@@ -46,6 +46,11 @@ def build_parser():
                    help="process N frames per dispatch (batched detector"
                         " + scanned tracker; best throughput for video"
                         " files; 0 = per-frame streaming)")
+    p.add_argument("--save-state", default="",
+                   help="write tracker state here at exit (resume with"
+                        " --resume-state; preserves track identities)")
+    p.add_argument("--resume-state", default="",
+                   help="resume from a tracker-state checkpoint")
     return p
 
 
@@ -99,6 +104,12 @@ def main(argv=None):
     pipe = PosePipeline(config, params=params)
     print(f"Tracker initialized (max {tracker_cfg.max_tracks} tracks, "
           f"{tracker_cfg.max_detections} detections)")
+    if args.resume_state:
+        from ..utils.checkpoint import load_tracker_state
+        pipe.state = load_tracker_state(args.resume_state)
+        print(f"Resumed tracker state from {args.resume_state} "
+              f"(frame {int(pipe.state.frame)}, "
+              f"next id {int(pipe.state.next_id)})")
 
     video = VideoReader(args.input)
     print(f"Video info: {video.width}x{video.height} @ {video.fps:.1f} fps, "
@@ -175,6 +186,10 @@ def main(argv=None):
     if frame_idx:
         print(f"Average FPS:      {frame_idx / total_s:.1f}")
         print(f"Mean dispatch:    {pipe.mean_frame_ms:.2f} ms/frame")
+    if args.save_state:
+        from ..utils.checkpoint import save_tracker_state
+        save_tracker_state(pipe.state, args.save_state)
+        print(f"Saved tracker state to {args.save_state}")
     video.release()
     if writer is not None:
         writer.release()

@@ -55,3 +55,14 @@ def test_demo_cli_chunked(test_video, tmp_path):
                "-c", "0.30", "--precision", "fp32", "--chunk", "4"])
     assert rc == 0
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_demo_cli_save_resume_state(test_video, tmp_path):
+    from posebyte_tpu.cli.demo import main
+    state_path = str(tmp_path / "state.safetensors")
+    rc = main(["-e", "yolov8n-pose", "-i", test_video, "-c", "0.30",
+               "--precision", "fp32", "--save-state", state_path])
+    assert rc == 0 and os.path.exists(state_path)
+    rc = main(["-e", "yolov8n-pose", "-i", test_video, "-c", "0.30",
+               "--precision", "fp32", "--resume-state", state_path])
+    assert rc == 0
