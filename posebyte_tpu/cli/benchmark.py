@@ -59,6 +59,9 @@ def main(argv=None):
                         "(name or weights path)")
     p.add_argument("--json", action="store_true",
                    help="emit one JSON line instead of a table")
+    p.add_argument("--stages", action="store_true",
+                   help="also print per-stage tracker timing "
+                        "(printTimingStats parity)")
     args = p.parse_args(argv)
 
     import jax
@@ -145,6 +148,11 @@ def main(argv=None):
         for _ in range(n):
             pipe.process_frame(frame, block=True)
         results[f"e2e_{name}_ms"] = (time.perf_counter() - t0) / n * 1e3
+
+    if args.stages:
+        from ..utils.profiling import profile_tracker_stages
+        timing = profile_tracker_stages(s, det5, cfg, iters=args.iterations)
+        timing.print_stats()
 
     if args.json:
         print(json.dumps({k: round(v, 4) for k, v in results.items()}))
