@@ -37,6 +37,10 @@ def main(argv=None):
                    help="input size (default 640)")
     p.add_argument("--no-compile", action="store_true",
                    help="skip the AOT compile warmup")
+    p.add_argument("--aot", default="",
+                   help="also write a locked AOT engine (StableHLO with "
+                        "weights baked in) to this path — the literal "
+                        "serialized-engine analog")
     args = p.parse_args(argv)
 
     from .demo import load_model_params
@@ -61,6 +65,14 @@ def main(argv=None):
     size_mb = os.path.getsize(args.output) / 1e6
     print(f"[export] saved {name} ({precision}) -> {args.output} "
           f"({size_mb:.1f} MB)")
+
+    if args.aot:
+        import jax.numpy as jnp
+        from ..models.aot import export_engine_aot
+        dt = jnp.float32 if precision == "fp32" else jnp.bfloat16
+        size = export_engine_aot(params, name, args.aot, args.batch,
+                                 args.size, dt)
+        print(f"[export] AOT engine -> {args.aot} ({size / 1e6:.1f} MB)")
 
     if not args.no_compile:
         import jax

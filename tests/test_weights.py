@@ -220,3 +220,21 @@ def test_save_load_params_roundtrip(tmp_path):
     apply_fn, _ = build_model("yolov8n-pose")
     out = jax.jit(apply_fn)(loaded, jnp.zeros((1, 64, 64, 3)))
     assert out.shape[1] == 56
+
+
+def test_aot_engine_roundtrip(tmp_path):
+    from posebyte_tpu.models.aot import export_engine_aot, load_engine_aot
+    params = init_params(jax.random.PRNGKey(0), "yolov8n-pose")
+    path = str(tmp_path / "engine.stablehlo")
+    size = export_engine_aot(params, "yolov8n-pose", path, batch=1,
+                             input_size=64, dtype=jnp.float32)
+    assert size > 1_000_000          # weights baked in
+
+    engine = load_engine_aot(path)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)) \
+        .astype(np.float32)
+    got = engine(jnp.asarray(x))
+    apply_fn, _ = build_model("yolov8n-pose", jnp.float32)
+    want = jax.jit(apply_fn)(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
