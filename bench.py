@@ -20,9 +20,18 @@ steady-state loop cycles staged buffers (distinct content per chunk).
 Synthetic weights + synthetic frames (perf is weight-independent).
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: first run pays compilation (~minutes on
+# a remote-compile host), reruns start hot.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 
 BASELINE_FPS = 420.0   # reference README.md:205 (yolov8n-pose FP16 e2e)
 

@@ -32,8 +32,17 @@ def _auction_kernel(cost_ref, active_ref, row_out_ref, col_out_ref,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
 
-    def round_fn(_, carry):
-        row_assign, col_assign, prices, eps = carry
+    # Early exit is EXACT: a round with no bidders changes nothing
+    # (prices only move on a won bid, and every bid re-assigns a row),
+    # so once no unassigned active row can bid the remaining rounds of
+    # the reference's fixed budget are no-ops. The carry stays
+    # int32/f32-only (Mosaic rejects boolean loop carries).
+    def cond(carry):
+        _, _, _, _, it, cont = carry
+        return (it < num_iters) & (cont > 0)
+
+    def round_fn(carry):
+        row_assign, col_assign, prices, eps, it, _ = carry
         # row_assign [R,1], col_assign [1,C], prices [1,C] f32
 
         value = -cost - prices                  # [R,C]
@@ -61,14 +70,17 @@ def _auction_kernel(cost_ref, active_ref, row_out_ref, col_out_ref,
                              axis=1, keepdims=True)              # [R,1]
         new_row_assign = jnp.where(any_owned, col_of_row,
                                    jnp.int32(-1))
-        return new_row_assign, new_col_assign, new_prices, eps * 0.9
+        cont = jnp.any(bidder).astype(jnp.int32)
+        return (new_row_assign, new_col_assign, new_prices, eps * 0.9,
+                it + 1, cont)
 
     init = (jnp.full((R, 1), -1, jnp.int32),
             jnp.full((1, C), -1, jnp.int32),
             jnp.zeros((1, C), jnp.float32),
-            jnp.float32(1.0 / (R + 1)))
-    row_assign, col_assign, _, _ = jax.lax.fori_loop(
-        0, num_iters, round_fn, init)
+            jnp.float32(1.0 / (R + 1)),
+            jnp.int32(0), jnp.int32(1))
+    row_assign, col_assign, _, _, _, _ = jax.lax.while_loop(
+        cond, round_fn, init)
     row_out_ref[:] = row_assign
     col_out_ref[:] = col_assign
 
