@@ -11,7 +11,8 @@ from .kalman import cv_predict, cv_update, Kalman136
 from .decode import decode_yolo_output, decode_yolo_output_batch
 from .nms import pose_nms, nms_overlap_matrix
 from .legacy_nms import legacy_pose_nms, legacy_oks_pair_matrix
-from .preprocess import (letterbox_image, letterbox_flat, letterbox_params,
+from .preprocess import (letterbox_image, letterbox_flat,
+                         letterbox_flat_nhwc, letterbox_params,
                          unletterbox_coords)
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "filter_matches_by_threshold", "cv_predict", "cv_update", "Kalman136",
     "decode_yolo_output", "decode_yolo_output_batch", "pose_nms",
     "nms_overlap_matrix", "legacy_pose_nms", "legacy_oks_pair_matrix",
-    "letterbox_image", "letterbox_flat", "letterbox_params",
+    "letterbox_image", "letterbox_flat", "letterbox_flat_nhwc",
+    "letterbox_params",
     "unletterbox_coords",
 ]

@@ -74,12 +74,14 @@ def _interp_matrices(input_width: int, input_height: int, target: int):
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
                                     "bgr_to_rgb"))
-def letterbox_flat(frame_flat: jnp.ndarray, input_width: int,
-                   input_height: int, target: int = C.DEFAULT_INPUT_SIZE,
-                   bgr_to_rgb: bool = True) -> jnp.ndarray:
-    """Flat uint8 [H*W*3] frame -> float32 [3, target, target] CHW.
+def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
+                        input_height: int,
+                        target: int = C.DEFAULT_INPUT_SIZE,
+                        bgr_to_rgb: bool = True) -> jnp.ndarray:
+    """Flat uint8 [H*W*3] frame -> float32 [target, target, 3] HWC.
 
-    The production path: flat-byte H2D, then two MXU matmuls.
+    The production path: flat-byte H2D, two MXU matmuls, and the output
+    already in the model's NHWC layout (no extra transpose pass).
     """
     Wy_np, Wx_np, mask_np = _interp_matrices(input_width, input_height,
                                              target)
@@ -97,7 +99,19 @@ def letterbox_flat(frame_flat: jnp.ndarray, input_width: int,
                      preferred_element_type=jnp.float32)
     if bgr_to_rgb:
         out = out[..., ::-1]
-    out = jnp.where(mask[..., None], out, C.LETTERBOX_PAD_VALUE)
+    return jnp.where(mask[..., None], out, C.LETTERBOX_PAD_VALUE)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("input_width", "input_height", "target",
+                                    "bgr_to_rgb"))
+def letterbox_flat(frame_flat: jnp.ndarray, input_width: int,
+                   input_height: int, target: int = C.DEFAULT_INPUT_SIZE,
+                   bgr_to_rgb: bool = True) -> jnp.ndarray:
+    """Flat uint8 [H*W*3] frame -> float32 [3, target, target] CHW
+    (the reference kernel's output layout; preprocess.cu:19-83)."""
+    out = letterbox_flat_nhwc(frame_flat, input_width, input_height,
+                              target, bgr_to_rgb)
     return jnp.transpose(out, (2, 0, 1))
 
 

@@ -26,7 +26,7 @@ from ..core.structs import TrackerState
 from ..models import build_model_heads
 from ..ops.decode import decode_topk
 from ..ops.nms import pose_nms
-from ..ops.preprocess import letterbox_image
+from ..ops.preprocess import letterbox_flat_nhwc
 from ..tracker.step import tracker_step
 from ..tracker.output import extract_outputs_device
 
@@ -43,9 +43,10 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
                         heads_fn):
     """Unbatched fused step (shared with PosePipeline semantics)."""
     det_cfg = config.detector
-    img = letterbox_image(frame_u8, det_cfg.input_size)
-    box, cls, kpt = heads_fn(params,
-                             jnp.transpose(img, (1, 2, 0))[None])
+    h, w = frame_u8.shape[0], frame_u8.shape[1]
+    img = letterbox_flat_nhwc(frame_u8.reshape(-1), w, h,
+                              det_cfg.input_size)
+    box, cls, kpt = heads_fn(params, img[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,

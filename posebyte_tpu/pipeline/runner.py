@@ -30,21 +30,20 @@ from ..core.structs import TrackerState
 from ..models import build_model, build_model_heads
 from ..ops.decode import decode_topk
 from ..ops.nms import pose_nms
-from ..ops.preprocess import letterbox_flat, letterbox_params
+from ..ops.preprocess import letterbox_flat_nhwc, letterbox_params
 from ..tracker.output import extract_outputs_device, TrackOutput
 from ..tracker.step import tracker_step
 
 
-def detect_fn(params, image_chw, det_cfg: DetectorConfig, heads_fn):
-    """Single-image detect: [3, S, S] float input -> NMS'd Detections.
+def detect_fn(params, image_hwc, det_cfg: DetectorConfig, heads_fn):
+    """Single-image detect: [S, S, 3] float input -> NMS'd Detections.
 
     Equivalent of YoloPoseEngine::detectGPUNative
     (reference: yolo_pose_engine.cpp:610-646). Uses the sparse decode
     path: top-K candidate selection on confidence, then DFL/keypoint
     decode for only those K (numerically identical to the dense path,
     ~30x less decode work)."""
-    box, cls, kpt = heads_fn(params,
-                             jnp.transpose(image_chw, (1, 2, 0))[None])
+    box, cls, kpt = heads_fn(params, image_hwc[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size)
     return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
@@ -83,7 +82,8 @@ class PosePipeline:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, state, frame_flat_u8):
-            img = letterbox_flat(frame_flat_u8, w, h, det_cfg.input_size)
+            img = letterbox_flat_nhwc(frame_flat_u8, w, h,
+                                      det_cfg.input_size)
             det = detect_fn(params, img, det_cfg, heads_fn)
             state, aux = tracker_step(state, det, trk_cfg)
             ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -114,12 +114,11 @@ class PosePipeline:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_step(params, state, frames_flat_u8):
-            # [K, H*W*3] -> [K, S, S, 3] letterboxed batch
+            # [K, H*W*3] -> [K, S, S, 3] letterboxed batch (NHWC direct)
             imgs = jax.vmap(
-                lambda f: letterbox_flat(f, w, h, det_cfg.input_size)
-            )(frames_flat_u8)                          # [K, 3, S, S]
-            box, cls, kpt = heads_fn(params,
-                                     jnp.transpose(imgs, (0, 2, 3, 1)))
+                lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+            )(frames_flat_u8)                          # [K, S, S, 3]
+            box, cls, kpt = heads_fn(params, imgs)
 
             def decode_one(b, c, k):
                 det = decode_topk(b, c, k, det_cfg.conf_threshold,
