@@ -74,3 +74,21 @@ def test_pipeline_chunk_mode_matches_streaming():
     # poses must agree to visual precision
     np.testing.assert_allclose(np.asarray(outs["poses"][-1]),
                                np.asarray(out2["poses"]), atol=0.5)
+
+
+def test_pipeline_v11_family():
+    # the v11 model family through the full pipeline
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_size=192, num_anchors=756,
+                                max_candidates=32, max_detections=8),
+        tracker=TrackerConfig(max_tracks=16, max_detections=8),
+        model_name="yolo11n-pose",
+        precision="fp32",
+    )
+    pipe = PosePipeline(cfg)
+    frame = np.random.default_rng(1).integers(0, 255, (240, 320, 3),
+                                              dtype=np.uint8)
+    out = pipe.process_frame(frame, block=True)
+    assert out["emit"].shape == (8,)
+    outs = pipe.process_chunk(np.stack([frame, frame]))
+    assert outs["emit"].shape == (2, 8)
