@@ -202,7 +202,10 @@ def tracker_step(state: TrackerState, det: Detections,
     last_frame = init_at(last_frame, jnp.full((D,), 1, jnp.int32) * frame)
     active = init_at(active, jnp.ones((D,), bool))
     col_assign = jnp.where(ok, slot_for_det, col_assign)
-    next_id = state.next_id + jnp.sum(new_det.astype(jnp.int32))
+    # advance the id counter only for tracks actually allocated
+    # (reference: atomicAdd happens inside kernelInitNewTracks, i.e. only
+    # for detections that won a slot, gpu_tracker.cu:757)
+    next_id = state.next_id + jnp.sum(ok.astype(jnp.int32))
 
     # ---- Stage 9: duplicate suppression -----------------------------------
     # Centers come from gating time, as in the reference (stale for tracks
