@@ -1,4 +1,6 @@
 """Device-mesh parallelism (multi-stream / batched serving)."""
-from .sharding import make_mesh, MultiStreamPipeline
+from .sharding import (make_mesh, MultiStreamPipeline,
+                       MultiStreamChunkPipeline)
 
-__all__ = ["make_mesh", "MultiStreamPipeline"]
+__all__ = ["make_mesh", "MultiStreamPipeline",
+           "MultiStreamChunkPipeline"]

@@ -106,3 +106,95 @@ class MultiStreamPipeline:
         frames = jax.device_put(jnp.asarray(frames), self._frame_sharding)
         self.states, out = self._step(self.params, self.states, frames)
         return out
+
+
+class MultiStreamChunkPipeline:
+    """Chunked multi-stream processing: [S, K, H, W, 3] frames per
+    dispatch — the stream axis shards over the mesh, detection batches
+    over streams x frames, and each stream's tracker recurrence scans
+    its K frames locally. The maximum-throughput configuration for
+    video-farm workloads (offline transcoding / archive indexing)."""
+
+    def __init__(self, num_streams: int, chunk: int,
+                 config: PipelineConfig = PipelineConfig(),
+                 mesh: Optional[Mesh] = None, params=None, seed: int = 0,
+                 dtype=jnp.bfloat16):
+        from ..ops.preprocess import letterbox_flat_nhwc
+        from ..ops.decode import decode_topk as _decode_topk
+        from ..ops.nms import pose_nms as _pose_nms
+
+        self.config = config
+        self.num_streams = num_streams
+        self.chunk = chunk
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.heads_fn, init_fn = build_model_heads(config.model_name,
+                                                   dtype)
+        self.params = params if params is not None else \
+            init_fn(jax.random.PRNGKey(seed))
+
+        stream = NamedSharding(self.mesh, P("stream"))
+        replicated = NamedSharding(self.mesh, P())
+        det_cfg = config.detector
+        trk_cfg = config.tracker
+        heads_fn = self.heads_fn
+
+        init_state = jax.vmap(
+            lambda _: TrackerState.init(trk_cfg.max_tracks,
+                                        trk_cfg.max_detections)
+        )(jnp.arange(num_streams))
+        self.states = jax.device_put(init_state, stream)
+        self.params = jax.device_put(self.params, replicated)
+
+        def per_stream(params, state, frames_flat, h, w):
+            imgs = jax.vmap(
+                lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+            )(frames_flat)                              # [K, S, S, 3]
+            box, cls, kpt = heads_fn(params, imgs)
+
+            def decode_one(b, c, k):
+                det = _decode_topk(b, c, k, det_cfg.conf_threshold,
+                                   det_cfg.max_candidates,
+                                   det_cfg.input_size)
+                return _pose_nms(det, det_cfg.iou_threshold,
+                                 det_cfg.oks_threshold,
+                                 det_cfg.max_detections)
+
+            dets = jax.vmap(decode_one)(box, cls, kpt)
+
+            def track_one(st, det):
+                st, aux = tracker_step(st, det, trk_cfg)
+                _, _, _, _, emit = extract_outputs_device(
+                    st, det.scores, trk_cfg)
+                return st, {"emit": emit, "num_active": aux["num_active"]}
+
+            return jax.lax.scan(track_one, state, dets)
+
+        self._steps = {}
+        self._per_stream = per_stream
+        self._stream_sharding = stream
+        self._replicated = replicated
+
+    def _step_for(self, h: int, w: int):
+        fn = self._steps.get((h, w))
+        if fn is None:
+            per_stream = functools.partial(self._per_stream, h=h, w=w)
+            vstep = jax.vmap(per_stream, in_axes=(None, 0, 0))
+            fn = jax.jit(vstep,
+                         in_shardings=(self._replicated,
+                                       self._stream_sharding,
+                                       self._stream_sharding),
+                         out_shardings=(self._stream_sharding,
+                                        self._stream_sharding),
+                         donate_argnums=(1,))
+            self._steps[(h, w)] = fn
+        return fn
+
+    def process_chunks(self, frames: np.ndarray):
+        """frames: [num_streams, chunk, H, W, 3] uint8 -> per-stream,
+        per-frame outputs with leading [S, K] axes."""
+        s, k, h, w = frames.shape[:4]
+        flat = np.ascontiguousarray(frames).reshape(s, k, -1)
+        flat = jax.device_put(jnp.asarray(flat), self._stream_sharding)
+        self.states, out = self._step_for(h, w)(self.params, self.states,
+                                                flat)
+        return out

@@ -80,3 +80,25 @@ def test_crowded_scene_50_persons(random_pose_factory):
     assert (hits[act] == 6).all()
     ids = np.asarray(state.ids)[act]
     assert len(np.unique(ids)) == n_persons
+
+
+def test_multistream_chunk_pipeline():
+    from posebyte_tpu.parallel import make_mesh
+    from posebyte_tpu.parallel.sharding import MultiStreamChunkPipeline
+
+    config = PipelineConfig(
+        detector=DetectorConfig(input_size=64, num_anchors=84,
+                                max_candidates=16, max_detections=4),
+        tracker=TrackerConfig(max_tracks=8, max_detections=4),
+        model_name="yolov8n-pose",
+        precision="fp32",
+    )
+    pipe = MultiStreamChunkPipeline(num_streams=4, chunk=3, config=config,
+                                    mesh=make_mesh(4), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 3, 96, 128, 3), dtype=np.uint8)
+    out = pipe.process_chunks(frames)
+    assert out["emit"].shape == (4, 3, 4)
+    assert int(pipe.states.frame[0]) == 3
+    out2 = pipe.process_chunks(frames)
+    assert int(pipe.states.frame[0]) == 6

@@ -190,3 +190,30 @@ def test_jit_stability_no_retrace(random_pose_factory):
     for t in range(3):
         state, _ = step(state, [(moving_pose(base, t), 0.9)])
     assert int(state.frame) == 3
+
+
+def test_identity_through_crossing(random_pose_factory):
+    """Two people walking through each other: IDs must survive the
+    approach and separation (the velocity-adaptive gate + OKS shape
+    matching carry identity through the near-overlap frames)."""
+    a = random_pose_factory()
+    a[:, 0] = (a[:, 0] % 80) + 100.0          # left, moving right
+    b = random_pose_factory()
+    b[:, 0] = (b[:, 0] % 80) + 400.0          # right, moving left
+    b[:, 1] = a[:, 1] + 40.0                  # slight vertical offset
+
+    state = TrackerState.init(CFG.max_tracks, CFG.max_detections)
+    id_a = id_b = None
+    for t in range(30):
+        pa = a.copy(); pa[:, 0] += 10.0 * t
+        pb = b.copy(); pb[:, 0] -= 10.0 * t
+        state, _ = step(state, [(pa, 0.9), (pb, 0.88)])
+        slot = np.asarray(state.det_track_slot)
+        ids = np.asarray(state.ids)
+        cur_a, cur_b = ids[slot[0]], ids[slot[1]]
+        if t == 3:
+            id_a, id_b = cur_a, cur_b
+            assert id_a != id_b
+        if t >= 3:
+            assert cur_a == id_a, f"id A switched at t={t}"
+            assert cur_b == id_b, f"id B switched at t={t}"
