@@ -107,8 +107,13 @@ def load_ultralytics_checkpoint(path: str) -> dict:
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False,
                       pickle_module=_make_unpickler_module())
-    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
-    # EMA checkpoints store the model under .model
+    if isinstance(ckpt, dict):
+        # Training checkpoints carry both "model" and "ema"; the EMA
+        # weights are the deployable ones (released .pt files hold the
+        # EMA under "model" already).
+        model = ckpt.get("ema") or ckpt.get("model") or ckpt
+    else:
+        model = ckpt
     if not hasattr(model, "__dict__"):
         raise ValueError(f"unrecognized checkpoint structure in {path}")
     out: dict = {}
