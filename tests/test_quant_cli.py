@@ -104,3 +104,18 @@ def test_int8_engine_save_load_roundtrip(tmp_path):
     fp32_path = str(tmp_path / "fp32.safetensors")
     save_params(params, fp32_path, "yolov8n-pose")
     assert os.path.getsize(path) < 0.45 * os.path.getsize(fp32_path)
+
+
+def test_export_cli_aot_flag(tmp_path):
+    from posebyte_tpu.cli.export import main as export_main
+    out = str(tmp_path / "m.safetensors")
+    aot = str(tmp_path / "m.stablehlo")
+    rc = export_main(["-m", "yolov8n-pose", "-o", out, "--no-compile",
+                      "--aot", aot, "--size", "64"])
+    assert rc == 0
+    import os
+    assert os.path.getsize(aot) > 1_000_000
+    from posebyte_tpu.models.aot import load_engine_aot
+    eng = load_engine_aot(aot)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    assert eng(x).shape == (1, 56, 84)
