@@ -46,6 +46,11 @@ def build_parser():
                    help="process N frames per dispatch (batched detector"
                         " + scanned tracker; best throughput for video"
                         " files; 0 = per-frame streaming)")
+    p.add_argument("--motion-model", default="cv",
+                   choices=["cv", "kalman136"],
+                   help="tracker motion model: constant-velocity (the"
+                        " reference's shipping path) or the full"
+                        " third-order 136-D Kalman filter")
     p.add_argument("--save-state", default="",
                    help="write tracker state here at exit (resume with"
                         " --resume-state; preserves track identities)")
@@ -93,6 +98,7 @@ def main(argv=None):
         low_thresh=args.conf * 0.5,
         new_track_thresh=args.conf,
         max_age=args.max_age,
+        motion_model=args.motion_model,
     )
     config = PipelineConfig(
         detector=DetectorConfig(conf_threshold=args.conf,

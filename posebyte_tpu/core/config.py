@@ -26,6 +26,14 @@ class TrackerConfig:
     max_age: int = 10               # frames before confirmed -> lost
     min_hits: int = 3               # hits before tentative -> confirmed
 
+    # Motion model: "cv" = the constant-gain constant-velocity filter
+    # the reference's shipping tracker uses (gpu_tracker.cu:102-189);
+    # "kalman136" = the full third-order per-keypoint filter
+    # (kalman_filter.cu), which the reference wires in but never calls.
+    motion_model: str = "cv"
+    accel_memory: float = 0.9
+    jerk_memory: float = 0.9
+
     # Compile-time constants in the reference, lifted into config here.
     lost_window: int = C.LOST_WINDOW
     gate_threshold: float = C.GATE_THRESHOLD

@@ -65,6 +65,13 @@ class TrackerState:
     # host extraction (reference: d_col_assignments_, gpu_tracker.cu:1559).
     det_track_slot: jnp.ndarray  # [D] int32, detection -> track slot or -1
 
+    # Third-order Kalman state, used when TrackerConfig.motion_model ==
+    # "kalman136" (the reference constructs KalmanFilterCUDA but its
+    # shipping path never calls it, SURVEY.md §2.2; here it is a usable
+    # motion model). Zero-cost when unused (~140 KB of HBM).
+    kf_mean: jnp.ndarray      # [T, 136] float32
+    kf_cov: jnp.ndarray       # [T, 136] float32 (diagonal)
+
     @property
     def capacity(self) -> int:
         return self.poses.shape[0]
@@ -86,6 +93,8 @@ class TrackerState:
             next_id=jnp.asarray(1, jnp.int32),
             frame=jnp.asarray(0, jnp.int32),
             det_track_slot=jnp.full((max_detections,), -1, jnp.int32),
+            kf_mean=jnp.zeros((T, C.TOTAL_STATE_DIM), jnp.float32),
+            kf_cov=jnp.ones((T, C.TOTAL_STATE_DIM), jnp.float32),
         )
 
 

@@ -131,12 +131,13 @@ class Kalman136:
         ], axis=-1)                                            # [N,17,8]
         new_cov = per_kp.reshape(N, C.TOTAL_STATE_DIM)
 
-        safe = jnp.clip(slots, 0, state.mean.shape[0] - 1)
-        v = valid[:, None]
-        mean = state.mean.at[safe].set(
-            jnp.where(v, new_mean, state.mean[safe]), mode="drop")
-        cov = state.cov_diag.at[safe].set(
-            jnp.where(v, new_cov, state.cov_diag[safe]), mode="drop")
+        # Invalid entries scatter out of bounds and are dropped (never
+        # clip-then-overwrite: duplicate clipped indices could clobber a
+        # real write in indeterminate scatter order).
+        T = state.mean.shape[0]
+        idx = jnp.where(valid, slots, T)
+        mean = state.mean.at[idx].set(new_mean, mode="drop")
+        cov = state.cov_diag.at[idx].set(new_cov, mode="drop")
         return KalmanState136(mean=mean, cov_diag=cov)
 
     @staticmethod
@@ -193,11 +194,9 @@ class Kalman136:
 
         flat_mean = new_mean_kp.reshape(-1, C.TOTAL_STATE_DIM)
         flat_cov = new_cov_kp.reshape(-1, C.TOTAL_STATE_DIM)
-        v = valid[:, None]
-        mean = state.mean.at[safe_slot].set(
-            jnp.where(v, flat_mean, state.mean[safe_slot]), mode="drop")
-        cov = state.cov_diag.at[safe_slot].set(
-            jnp.where(v, flat_cov, state.cov_diag[safe_slot]), mode="drop")
+        idx = jnp.where(valid, track_slots, T)
+        mean = state.mean.at[idx].set(flat_mean, mode="drop")
+        cov = state.cov_diag.at[idx].set(flat_cov, mode="drop")
         return KalmanState136(mean=mean, cov_diag=cov)
 
     @staticmethod

@@ -103,10 +103,24 @@ def tracker_step(state: TrackerState, det: Detections,
     dvalid = det.valid
 
     num_active_in = jnp.sum(act.astype(jnp.int32))
+    use_kf136 = config.motion_model == "kalman136"
 
     # ---- Stage 1: predict --------------------------------------------------
-    predicted, velocities = cv_predict(state.poses, state.velocities, act,
-                                       states)
+    if use_kf136:
+        from ..core.structs import KalmanState136
+        from ..ops.kalman import Kalman136
+        kf = KalmanState136(mean=state.kf_mean, cov_diag=state.kf_cov)
+        kf = Kalman136.predict(kf, config.accel_memory, config.jerk_memory)
+        kf_split = kf.mean.reshape(T, C.NUM_KEYPOINTS, 8)
+        pred_xy = kf_split[..., 0:2]
+        velocities = kf_split[..., 2:4]
+        a = act[:, None, None]
+        predicted = jnp.concatenate(
+            [jnp.where(a, pred_xy, state.poses[..., :2]),
+             state.poses[..., 2:3]], axis=-1)
+    else:
+        predicted, velocities = cv_predict(state.poses, state.velocities,
+                                           act, states)
 
     # ---- Stage 2: spatial gating ------------------------------------------
     track_centers = pose_centers(predicted)          # [T,4]
@@ -142,10 +156,22 @@ def tracker_step(state: TrackerState, det: Detections,
     row_assign, col_assign = _tier_assign(cost3, act, row_assign, col_assign)
 
     # ---- Stage 6: update matched tracks -----------------------------------
-    poses, velocities = cv_update(state.poses, velocities, det.poses,
-                                  row_assign, act)
     matched = (row_assign >= 0) & act
     det_idx = jnp.clip(row_assign, 0, D - 1)
+    if use_kf136:
+        kf = Kalman136.update(kf, det.poses,
+                              jnp.arange(T, dtype=jnp.int32), row_assign,
+                              matched)
+        kf_xy = kf.mean.reshape(T, C.NUM_KEYPOINTS, 8)[..., 0:2]
+        det_conf = det.poses[det_idx][..., 2:3]
+        m3 = matched[:, None, None]
+        poses = jnp.concatenate(
+            [jnp.where(m3, kf_xy, state.poses[..., :2]),
+             jnp.where(m3, det_conf, state.poses[..., 2:3])], axis=-1)
+        velocities = kf.mean.reshape(T, C.NUM_KEYPOINTS, 8)[..., 2:4]
+    else:
+        poses, velocities = cv_update(state.poses, velocities, det.poses,
+                                      row_assign, act)
     scores = jnp.where(matched, det.scores[det_idx], state.scores)
     hits = jnp.where(matched, state.hits + 1, state.hits)
     ages = jnp.where(matched, 0, state.ages)
@@ -207,6 +233,12 @@ def tracker_step(state: TrackerState, det: Detections,
     # for detections that won a slot, gpu_tracker.cu:757)
     next_id = state.next_id + jnp.sum(ok.astype(jnp.int32))
 
+    if use_kf136:
+        kf = Kalman136.initiate(kf, det.poses, scatter_slot, ok)
+        kf_mean, kf_cov = kf.mean, kf.cov_diag
+    else:
+        kf_mean, kf_cov = state.kf_mean, state.kf_cov
+
     # ---- Stage 9: duplicate suppression -----------------------------------
     # Centers come from gating time, as in the reference (stale for tracks
     # born this frame, which are excluded by the hits >= min_hits rule).
@@ -225,7 +257,7 @@ def tracker_step(state: TrackerState, det: Detections,
         poses=poses, velocities=velocities, scores=scores, ids=ids,
         states=states, hits=hits, ages=ages, last_frame=last_frame,
         active=active, next_id=next_id, frame=frame,
-        det_track_slot=col_assign,
+        det_track_slot=col_assign, kf_mean=kf_mean, kf_cov=kf_cov,
     )
     aux = {
         "num_active_in": num_active_in,

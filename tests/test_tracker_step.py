@@ -217,3 +217,29 @@ def test_identity_through_crossing(random_pose_factory):
         if t >= 3:
             assert cur_a == id_a, f"id A switched at t={t}"
             assert cur_b == id_b, f"id B switched at t={t}"
+
+
+def test_kalman136_motion_model(random_pose_factory):
+    """The third-order Kalman motion model: track birth, smoothing, and
+    identity persistence under accelerating motion."""
+    cfg = TrackerConfig(max_tracks=16, max_detections=8,
+                        motion_model="kalman136")
+    base = random_pose_factory()
+    state = TrackerState.init(cfg.max_tracks, cfg.max_detections)
+    for t in range(8):
+        p = base.copy()
+        p[:, 0] += 2.0 * t + 0.5 * t * t      # accelerating
+        state, aux = tracker_step(state, make_dets([(p, 0.9)]), cfg)
+    assert int(aux["num_active"]) == 1
+    act = np.asarray(state.active)
+    assert np.asarray(state.hits)[act][0] == 8
+    assert np.asarray(state.ids)[act][0] == 1
+    # kalman state populated: velocity and acceleration learned
+    kf = np.asarray(state.kf_mean).reshape(cfg.max_tracks, 17, 8)
+    slot = int(np.asarray(state.det_track_slot)[0])
+    assert abs(kf[slot, :, 2].mean()) > 0.5    # vx learned
+    # smoothed positions track the detections closely
+    p_final = base.copy()
+    p_final[:, 0] += 2.0 * 7 + 0.5 * 49
+    err = np.abs(np.asarray(state.poses)[slot, :, 0] - p_final[:, 0]).mean()
+    assert err < 10.0
