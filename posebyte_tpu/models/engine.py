@@ -93,10 +93,13 @@ class YoloPoseEngine:
         if fn is None:
             cfg = self.config
             apply_fn = self.apply_fn
-            params = self.params
 
+            # params is a call argument (not closed over) so mutating
+            # engine.params — e.g. re-quantizing after construction —
+            # takes effect on the next call instead of silently serving
+            # the weights captured at first trace.
             @jax.jit
-            def run(frame_flat_u8):
+            def run(params, frame_flat_u8):
                 img = letterbox_flat(frame_flat_u8, w, h, cfg.input_size)
                 raw = apply_fn(params, jnp.transpose(img, (1, 2, 0))[None])
                 det = decode_yolo_output(raw[0], cfg.conf_threshold,
@@ -114,7 +117,7 @@ class YoloPoseEngine:
         Detections (chains into the tracker with zero host crossings)."""
         import time
         t0 = time.perf_counter()
-        out = self._native_fn(height, width)(frame_flat_u8)
+        out = self._native_fn(height, width)(self.params, frame_flat_u8)
         self.last_inference_ms = (time.perf_counter() - t0) * 1e3
         return out
 
@@ -124,8 +127,7 @@ class YoloPoseEngine:
         fn = self._jits.get(key)
         if fn is None:
             apply_fn = self.apply_fn
-            params = self.params
-            fn = jax.jit(lambda imgs: apply_fn(params, imgs))
+            fn = jax.jit(lambda params, imgs: apply_fn(params, imgs))
             self._jits[key] = fn
         return fn
 
@@ -152,10 +154,9 @@ class YoloPoseEngine:
         fn = self._jits.get(key)
         if fn is None:
             apply_fn = self.apply_fn
-            params = self.params
 
             @jax.jit
-            def run(frames_flat):
+            def run(params, frames_flat):
                 imgs = jax.vmap(
                     lambda f: letterbox_flat(f, W, H, cfg.input_size)
                 )(frames_flat)
@@ -173,7 +174,7 @@ class YoloPoseEngine:
         flat = np.ascontiguousarray(images_bgr).reshape(B, -1)
         import time
         t0 = time.perf_counter()
-        dets = fn(jnp.asarray(flat))
+        dets = fn(self.params, jnp.asarray(flat))
         boxes, poses, scores, valid = jax.device_get(
             (dets.boxes, dets.poses, dets.scores, dets.valid))
         self.last_inference_ms = (time.perf_counter() - t0) * 1e3

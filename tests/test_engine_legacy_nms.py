@@ -139,3 +139,30 @@ def test_engine_roundtrip_and_paths(tmp_path):
     # device -> host list
     lst = eng.detect_from_device(flat, 120, 160)
     assert isinstance(lst, list)
+
+
+def test_engine_params_mutation_takes_effect():
+    """Mutating engine.params after a first call must change outputs on
+    the next call (regression: jit closures capturing self.params at
+    first trace silently served stale weights)."""
+    cfg = DetectorConfig(input_size=128, max_candidates=16,
+                         max_detections=4)
+    eng = YoloPoseEngine("yolov8n-pose", cfg, precision="fp32")
+    frame = np.random.default_rng(1).integers(
+        0, 255, (96, 128, 3), dtype=np.uint8)
+    flat = jnp.asarray(frame.reshape(-1))
+
+    raw1 = jax.device_get(
+        eng.detect_device_native(flat, 96, 128).scores)
+    # re-weight in place: same pytree structure, different values
+    eng.params = jax.tree.map(lambda x: x * 1.5, eng.params)
+    raw2 = jax.device_get(
+        eng.detect_device_native(flat, 96, 128).scores)
+    assert not np.allclose(raw1, raw2)
+
+    # quantization changes structure too (int8 w + scale): also served
+    from posebyte_tpu.models.quant import quantize_params
+    eng.params = quantize_params(
+        jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), eng.params))
+    det3 = eng.detect_device_native(flat, 96, 128)
+    assert det3.poses.shape == (4, 17, 3)
