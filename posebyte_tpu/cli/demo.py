@@ -56,6 +56,10 @@ def build_parser():
                         " --resume-state; preserves track identities)")
     p.add_argument("--resume-state", default="",
                    help="resume from a tracker-state checkpoint")
+    p.add_argument("--timing", action="store_true",
+                   help="print a preprocess/detect/track timing "
+                        "breakdown after the run (diagnostic phase "
+                        "slices; reference: main.cpp:298-303)")
     return p
 
 
@@ -192,6 +196,11 @@ def main(argv=None):
     if frame_idx:
         print(f"Average FPS:      {frame_idx / total_s:.1f}")
         print(f"Mean dispatch:    {pipe.mean_frame_ms:.2f} ms/frame")
+    if args.timing and frame_idx:
+        from ..utils.profiling import profile_frame_phases
+        timing = profile_frame_phases(pipe, video.height, video.width,
+                                      iters=10)
+        print(timing.report())
     if args.save_state:
         from ..utils.checkpoint import save_tracker_state
         save_tracker_state(pipe.state, args.save_state)

@@ -33,6 +33,16 @@ def main(argv=None):
                    help="max batch size (AOT warmup geometry)")
     p.add_argument("-c", "--calib", default="",
                    help="calibration image directory (int8)")
+    p.add_argument("--calib-cache", default="",
+                   help="int8 activation-scale cache file: loaded if it "
+                        "exists (skips image calibration), written after "
+                        "calibrating otherwise (parity: TensorRT "
+                        "calibrator cache)")
+    p.add_argument("--allow-synthetic-calib", action="store_true",
+                   help="permit int8 activation calibration on synthetic "
+                        "frames when no images/cache are given "
+                        "(unvalidated scales; default is weight-only "
+                        "int8 instead)")
     p.add_argument("--size", type=int, default=640,
                    help="input size (default 640)")
     p.add_argument("--no-compile", action="store_true",
@@ -58,8 +68,10 @@ def main(argv=None):
 
     if precision == "int8":
         from ..models.quant import calibrate_and_quantize
-        params = calibrate_and_quantize(params, name, args.calib,
-                                        args.size)
+        params = calibrate_and_quantize(
+            params, name, args.calib, args.size,
+            cache_path=args.calib_cache,
+            synthetic_fallback=args.allow_synthetic_calib)
 
     save_params(params, args.output, name)
     size_mb = os.path.getsize(args.output) / 1e6

@@ -68,9 +68,11 @@ def conv2d(params, x, stride: int = 1, groups: int = 1):
           engines (yolo_pose_engine.cpp:243-332).
     """
     if _CALIBRATION_RECORDER is not None:
-        prev = _CALIBRATION_RECORDER.get(id(params), 0.0)
-        _CALIBRATION_RECORDER[id(params)] = max(
-            prev, float(jnp.max(jnp.abs(x))))
+        # per-image 99.9th-percentile |x| (clips in-image outliers; the
+        # robust-calibration analog of the reference's entropy
+        # calibrator, yolo_pose_engine.cpp:56-142)
+        _CALIBRATION_RECORDER.setdefault(id(params), []).append(
+            float(jnp.percentile(jnp.abs(x.astype(jnp.float32)), 99.9)))
 
     k = params["w"].shape[0]
     pad = k // 2

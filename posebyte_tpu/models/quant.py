@@ -62,8 +62,53 @@ def quantize_params(params, skip=PARTIAL_QUANT_SKIP):
         lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, out)
 
 
+def conv_paths(node, prefix=""):
+    """Stable dotted-path -> conv-param-dict map over a params tree
+    (keys calibration caches; same walk order as _walk)."""
+    out = {}
+    if isinstance(node, dict):
+        if "w" in node and "b" in node:
+            out[prefix or "."] = node
+            return out
+        for k in sorted(node.keys()):
+            out.update(conv_paths(node[k], f"{prefix}.{k}" if prefix
+                                  else str(k)))
+    elif isinstance(node, (list, tuple)):
+        for i, v in enumerate(node):
+            out.update(conv_paths(v, f"{prefix}[{i}]"))
+    return out
+
+
+def save_calibration_cache(qparams, path: str) -> int:
+    """Persist activation scales to a JSON cache reusable across
+    exports (parity: the reference's Int8EntropyCalibrator cache file,
+    yolo_pose_engine.cpp:144-164). Returns the number of scales."""
+    import json
+    scales = {p: float(np.asarray(n["act_scale"]))
+              for p, n in conv_paths(qparams).items()
+              if "act_scale" in n}
+    with open(path, "w") as f:
+        json.dump({"version": 1, "act_scales": scales}, f, indent=1)
+    return len(scales)
+
+
+def load_calibration_cache(qparams, path: str) -> int:
+    """Attach cached activation scales to already-weight-quantized
+    convs (by dotted path). Returns the number attached."""
+    import json
+    with open(path) as f:
+        cache = json.load(f)
+    scales = cache["act_scales"]
+    n = 0
+    for p, node in conv_paths(qparams).items():
+        if p in scales and "scale" in node:
+            node["act_scale"] = jnp.asarray(scales[p], jnp.float32)
+            n += 1
+    return n
+
+
 def _load_calibration_images(calib_dir: str, input_size: int,
-                             max_images: int = 8):
+                             max_images: int = 64):
     """Load + letterbox calibration images (the analog of the
     reference's Int8EntropyCalibrator feed loop,
     yolo_pose_engine.cpp:78-142). Returns [N, S, S, 3] float32 or None."""
@@ -115,7 +160,9 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
         nonlocal n_attached
         if isinstance(node, dict):
             if "scale" in node and id(node) in recorder:
-                amax = recorder[id(node)] * percentile_headroom
+                # max over per-image 99.9th percentiles: robust to
+                # in-image outliers, conservative across images
+                amax = max(recorder[id(node)]) * percentile_headroom
                 node["act_scale"] = jnp.asarray(
                     max(amax, 1e-6) / 127.0, jnp.float32)
                 n_attached += 1
@@ -134,20 +181,52 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
 
 def calibrate_and_quantize(params, name: str, calib_dir: str = "",
                            input_size: int = 640,
-                           synthetic_fallback: bool = True):
+                           cache_path: str = "",
+                           synthetic_fallback: bool = False,
+                           n_synthetic: int = 64):
     """Full INT8 build (export CLI): per-channel int8 weights with the
     partial-quantization policy, plus activation calibration for the
-    w8a8 MXU path. Without calibration images, synthetic frames stand in
-    (scales are loose but functional); weight-only int8 remains the
-    fallback if calibration is disabled entirely."""
+    w8a8 MXU path.
+
+    Calibration sources, in priority order (mirrors the reference's
+    calibrator, which short-circuits to its cache file when present,
+    yolo_pose_engine.cpp:144-164):
+      1. an existing `cache_path` — scales load directly, no images;
+      2. images in `calib_dir` (up to 64, percentile-calibrated);
+         the result is persisted to `cache_path` when given;
+      3. `synthetic_fallback=True` (explicit opt-in only): synthetic
+         frames — scales are unvalidated, printed LOUDLY;
+      4. otherwise: weight-only int8 (no act_scales attached) — the
+         conv dequantizes weights into bf16 instead of shipping
+         noise-calibrated activation scales.
+    """
+    import os
     qparams = quantize_params(params)
+
+    if cache_path and os.path.exists(cache_path):
+        n = load_calibration_cache(qparams, cache_path)
+        print(f"[quant] loaded {n} activation scales from cache "
+              f"{cache_path}")
+        return qparams
+
     images = _load_calibration_images(calib_dir, input_size) \
         if calib_dir else None
     if images is None and synthetic_fallback:
         rng = np.random.default_rng(0)
-        images = rng.uniform(0.0, 1.0, (2, input_size, input_size, 3)) \
+        images = rng.uniform(
+            0.0, 1.0, (n_synthetic, input_size, input_size, 3)) \
             .astype(np.float32)
-        print("[quant] no calibration images; using synthetic frames")
+        print("[quant] WARNING: calibrating on SYNTHETIC frames — "
+              "activation scales are unvalidated; accuracy loss is "
+              "unquantified. Provide -c <calib_dir> for real scales.")
     if images is not None:
         qparams = calibrate_activations(qparams, name, images)
+        if cache_path:
+            n = save_calibration_cache(qparams, cache_path)
+            print(f"[quant] wrote {n} activation scales to cache "
+                  f"{cache_path}")
+    else:
+        print("[quant] no calibration source: weight-only int8 "
+              "(activations stay bf16; pass -c or --calib-cache for "
+              "the full w8a8 path)")
     return qparams

@@ -59,15 +59,24 @@ class PosePipeline:
     """
 
     def __init__(self, config: PipelineConfig = PipelineConfig(),
-                 params=None, seed: int = 0, dtype=None):
+                 params=None, seed: int = 0, dtype=None, heads_fn=None):
+        """heads_fn: optional detector override with the
+        build_model_heads signature (params, images_nhwc) ->
+        (box_logits, cls_logits, kpt_raw). Used by the accuracy loop to
+        inject an oracle detector (models/oracle.py) or GT detections;
+        pass `params` explicitly alongside it."""
         self.config = config
         if dtype is None:
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
-        self.apply_fn, init_fn = build_model(config.model_name, dtype)
-        self.heads_fn, _ = build_model_heads(config.model_name, dtype)
-        if params is None:
-            params = init_fn(jax.random.PRNGKey(seed))
+        if heads_fn is not None:
+            self.apply_fn = None
+            self.heads_fn = heads_fn
+        else:
+            self.apply_fn, init_fn = build_model(config.model_name, dtype)
+            self.heads_fn, _ = build_model_heads(config.model_name, dtype)
+            if params is None:
+                params = init_fn(jax.random.PRNGKey(seed))
         self.params = params
         self.state = TrackerState.init(config.tracker.max_tracks,
                                        config.tracker.max_detections)
@@ -189,13 +198,71 @@ class PosePipeline:
             step = self._make_step(h, w)
             self._step_cache[(h, w)] = step
         t0 = time.perf_counter()
+        # Hand the host buffer straight to the executable: the transfer
+        # rides the dispatch instead of paying a separate device_put
+        # round trip (measured faster on the tunneled-TPU host too).
         flat = np.ascontiguousarray(frame_bgr).reshape(-1)
-        self.state, out = step(self.params, self.state, jnp.asarray(flat))
+        self.state, out = step(self.params, self.state, flat)
         if block:
             out["emit"].block_until_ready()
         self.timing["dispatch_ms"] += (time.perf_counter() - t0) * 1e3
         self.timing["frames"] += 1
         return out
+
+    def prestage_frame(self, frame_bgr: np.ndarray):
+        """Begin an async H2D transfer of one frame; returns a device
+        handle for process_frame_device. The transfer overlaps whatever
+        the device is currently computing (the TPU analogue of the
+        reference's pinned staging buffers + async cudaMemcpyAsync,
+        gpu_tracker.cu:977-980)."""
+        flat = np.ascontiguousarray(frame_bgr).reshape(-1)
+        return jax.device_put(flat)
+
+    def process_frame_device(self, frame_flat_dev, h: int, w: int,
+                             block: bool = False):
+        """Run the fused step on a pre-staged (device-resident) frame."""
+        step = self._step_cache.get((h, w))
+        if step is None:
+            step = self._make_step(h, w)
+            self._step_cache[(h, w)] = step
+        self.state, out = step(self.params, self.state, frame_flat_dev)
+        if block:
+            out["emit"].block_until_ready()
+        self.timing["frames"] += 1
+        return out
+
+    def process_stream(self, frames, sync_depth: int = 2):
+        """Depth-pipelined streaming: yields device outputs for each
+        frame of an iterable, keeping up to `sync_depth` frames in
+        flight. Frame N+1's H2D transfer is issued before frame N's
+        output is awaited, so ingest hides behind compute (VERDICT r1
+        item 2; reference contract: main.cpp:194-281's one-sync-per-frame
+        loop). The sync on the oldest in-flight output applies
+        backpressure, bounding device memory and transfer queueing —
+        yielded outputs are always complete."""
+        from collections import deque
+
+        inflight: deque = deque()
+        staged = None
+        for frame in frames:
+            h, w = frame.shape[:2]
+            nxt = self.prestage_frame(frame)     # overlap transfer N+1
+            if staged is not None:
+                out = self.process_frame_device(staged[0], staged[1],
+                                                staged[2])
+                inflight.append(out)
+                if len(inflight) > sync_depth:
+                    ready = inflight.popleft()
+                    ready["emit"].block_until_ready()
+                    yield ready
+            staged = (nxt, h, w)
+        if staged is not None:
+            inflight.append(self.process_frame_device(staged[0], staged[1],
+                                                      staged[2]))
+        while inflight:
+            ready = inflight.popleft()
+            ready["emit"].block_until_ready()
+            yield ready
 
     def fetch_outputs(self, out, frame_w: int, frame_h: int):
         """The single D2H copy: device outputs -> host TrackOutput list,

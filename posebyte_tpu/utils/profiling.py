@@ -142,6 +142,75 @@ def profile_tracker_stages(state, det, config, iters: int = 20
     return t
 
 
+def profile_frame_phases(pipe, frame_h: int, frame_w: int,
+                         iters: int = 10) -> FrameTiming:
+    """Populate FrameTiming with the demo's preprocess/detect/track
+    split (reference: main.cpp:298-303) by dispatching phase-granular
+    jitted slices of the pipeline on the given frame geometry.
+
+    The production step is fused (one executable), so these are
+    diagnostic dispatches: each blocking sync includes per-dispatch
+    overhead the fused step does not pay — treat as relative weights,
+    exactly like the reference's host stamps around async launches.
+    `total_ms` is the real fused step, measured separately.
+    """
+    import numpy as np
+
+    from ..ops.decode import decode_topk
+    from ..ops.nms import pose_nms
+    from ..ops.preprocess import letterbox_flat_nhwc
+    from ..tracker.step import tracker_step
+
+    det_cfg = pipe.config.detector
+    trk_cfg = pipe.config.tracker
+    S = det_cfg.input_size
+    heads_fn = pipe.heads_fn
+
+    pre = jax.jit(lambda f: letterbox_flat_nhwc(f, frame_w, frame_h, S))
+
+    @jax.jit
+    def detect(params, img):
+        box, cls, kpt = heads_fn(params, img[None])
+        d = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
+                        det_cfg.max_candidates, S)
+        return pose_nms(d, det_cfg.iou_threshold, det_cfg.oks_threshold,
+                        det_cfg.max_detections)
+
+    track = jax.jit(lambda s, d: tracker_step(s, d, trk_cfg))
+
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.integers(0, 255, (frame_h * frame_w * 3,),
+                                    dtype=np.uint8))
+    img = pre(flat)
+    det = detect(pipe.params, img)
+    state = type(pipe.state).init(trk_cfg.max_tracks,
+                                  trk_cfg.max_detections)
+    jax.block_until_ready((img, det.scores))
+
+    def timed(fn, *a):
+        jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    t = FrameTiming(frames=iters)
+    t.preprocess_ms = timed(pre, flat) * iters
+    t.detect_ms = timed(detect, pipe.params, img) * iters
+    t.track_ms = timed(lambda: track(state, det)[0].poses) * iters
+
+    # real fused per-frame step (production path)
+    frame = np.zeros((frame_h, frame_w, 3), np.uint8)
+    pipe.process_frame(frame, block=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipe.process_frame(frame)
+    out["emit"].block_until_ready()
+    t.total_ms = (time.perf_counter() - t0) * 1e3
+    return t
+
+
 @contextlib.contextmanager
 def jax_trace(logdir: str = "/tmp/posebyte_trace"):
     """Op-level device trace (TensorBoard/Perfetto-viewable)."""

@@ -77,7 +77,8 @@ def test_int8_engine_through_pipeline():
 
     _, init_fn = build_model("yolov8n-pose")
     params = init_fn(__import__("jax").random.PRNGKey(0))
-    q = calibrate_and_quantize(params, "yolov8n-pose", input_size=192)
+    q = calibrate_and_quantize(params, "yolov8n-pose", input_size=192,
+                               synthetic_fallback=True, n_synthetic=2)
     cfg = PipelineConfig(
         detector=DetectorConfig(input_size=192, max_candidates=32,
                                 max_detections=8),

@@ -92,3 +92,38 @@ def test_pipeline_v11_family():
     assert out["emit"].shape == (8,)
     outs = pipe.process_chunk(np.stack([frame, frame]))
     assert outs["emit"].shape == (2, 8)
+
+
+def test_process_stream_matches_per_frame():
+    """Depth-pipelined streaming yields the same outputs, in order, as
+    the plain per-frame loop (same frames, same tracker trajectory)."""
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, size=(240, 320, 3), dtype=np.uint8)
+              for _ in range(6)]
+
+    pipe_a = PosePipeline(SMALL, seed=5)
+    ref = []
+    for f in frames:
+        out = pipe_a.process_frame(f)
+        ref.append(jax.device_get((out["ids"], out["emit"],
+                                   out["poses"])))
+
+    pipe_b = PosePipeline(SMALL, seed=5)
+    got = [jax.device_get((o["ids"], o["emit"], o["poses"]))
+           for o in pipe_b.process_stream(iter(frames), sync_depth=2)]
+
+    assert len(got) == len(ref)
+    for (ri, re, rp), (gi, ge, gp) in zip(ref, got):
+        np.testing.assert_array_equal(ri, gi)
+        np.testing.assert_array_equal(re, ge)
+        np.testing.assert_allclose(rp, gp, atol=1e-5)
+
+
+def test_profile_frame_phases_reports():
+    from posebyte_tpu.utils.profiling import profile_frame_phases
+    pipe = PosePipeline(SMALL)
+    t = profile_frame_phases(pipe, 240, 320, iters=2)
+    rep = t.report()
+    assert "Timing breakdown" in rep
+    assert t.preprocess_ms > 0 and t.detect_ms > 0 and t.track_ms > 0
+    assert t.total_ms > 0

@@ -92,7 +92,8 @@ def test_int8_engine_save_load_roundtrip(tmp_path):
     from posebyte_tpu.models.weights import save_params, load_params
     _, init_fn = build_model("yolov8n-pose")
     params = init_fn(jax.random.PRNGKey(1))
-    q = calibrate_and_quantize(params, "yolov8n-pose", input_size=64)
+    q = calibrate_and_quantize(params, "yolov8n-pose", input_size=64,
+                               synthetic_fallback=True, n_synthetic=2)
     path = str(tmp_path / "int8.safetensors")
     save_params(q, path, "yolov8n-pose")
     loaded, name = load_params(path)
@@ -119,3 +120,50 @@ def test_export_cli_aot_flag(tmp_path):
     eng = load_engine_aot(aot)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     assert eng(x).shape == (1, 56, 84)
+
+
+def test_calibration_cache_roundtrip(tmp_path):
+    """Scales persist to a cache file and re-attach to a fresh
+    quantization without images (Int8EntropyCalibrator cache parity,
+    yolo_pose_engine.cpp:144-164)."""
+    from posebyte_tpu.models.quant import (calibrate_and_quantize,
+                                           conv_paths,
+                                           load_calibration_cache,
+                                           quantize_params,
+                                           save_calibration_cache)
+    _, init_fn = build_model("yolov8n-pose")
+    params = init_fn(jax.random.PRNGKey(2))
+    q1 = calibrate_and_quantize(params, "yolov8n-pose", input_size=64,
+                                synthetic_fallback=True, n_synthetic=2)
+    cache = str(tmp_path / "calib.json")
+    n_saved = save_calibration_cache(q1, cache)
+    assert n_saved > 0
+
+    q2 = quantize_params(init_fn(jax.random.PRNGKey(2)))
+    n_loaded = load_calibration_cache(q2, cache)
+    assert n_loaded == n_saved
+    s1 = {p: float(np.asarray(n["act_scale"]))
+          for p, n in conv_paths(q1).items() if "act_scale" in n}
+    s2 = {p: float(np.asarray(n["act_scale"]))
+          for p, n in conv_paths(q2).items() if "act_scale" in n}
+    assert s1 == s2
+
+    # calibrate_and_quantize short-circuits to an existing cache
+    q3 = calibrate_and_quantize(init_fn(jax.random.PRNGKey(2)),
+                                "yolov8n-pose", input_size=64,
+                                cache_path=cache)
+    s3 = {p: float(np.asarray(n["act_scale"]))
+          for p, n in conv_paths(q3).items() if "act_scale" in n}
+    assert s3 == s1
+
+
+def test_no_calibration_source_is_weight_only():
+    """Without images/cache/explicit opt-in, no act_scales attach —
+    never silently ship noise-calibrated engines (VERDICT r1 item 7)."""
+    from posebyte_tpu.models.quant import (calibrate_and_quantize,
+                                           conv_paths)
+    _, init_fn = build_model("yolov8n-pose")
+    q = calibrate_and_quantize(init_fn(jax.random.PRNGKey(0)),
+                               "yolov8n-pose", input_size=64)
+    assert not any("act_scale" in n for n in conv_paths(q).values())
+    assert q["b9"]["cv1"]["w"].dtype == jnp.int8   # weights still int8
