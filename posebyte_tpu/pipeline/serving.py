@@ -1,0 +1,178 @@
+"""Multi-stream serving: dynamic stream lifecycle over the sharded
+lockstep pipeline.
+
+The reference is a single-video CLI (reference: src/main.cpp); serving
+many independent videos is new surface in this framework. The design is
+TPU-shaped: a fixed pool of S stream slots runs in SPMD lockstep (one
+jitted dispatch advances every slot — the stream axis shards over the
+device mesh exactly as in parallel/sharding.py), while stream dynamics
+(open/close/starvation) are host-side masks fed into the step:
+
+  * `reset[s]`  — slot s's tracker state is re-initialized in-graph
+    before the step (stream open / slot reuse);
+  * `advance[s]` — when False, slot s's state passes through unchanged
+    (a starved stream does not age its tracks) and its outputs are
+    masked out.
+
+So idle slots burn compute (lockstep is the price of one executable)
+but never corrupt state, and per-stream EOS / reopen never recompiles
+or reshapes anything — the pool geometry is static for XLA.
+"""
+from __future__ import annotations
+
+import collections
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import PipelineConfig
+from ..core.structs import TrackerState
+from ..models import build_model_heads
+from ..parallel.sharding import (Mesh, NamedSharding, P, make_mesh,
+                                 _single_stream_step)
+
+
+def _gated_stream_step(params, state, frame_u8, advance, reset,
+                       config: PipelineConfig, heads_fn):
+    """One stream slot's step with lifecycle gating (see module doc)."""
+    fresh = TrackerState.init(config.tracker.max_tracks,
+                              config.tracker.max_detections)
+    state = jax.tree.map(lambda i, s: jnp.where(reset, i, s), fresh, state)
+    new_state, out = _single_stream_step(params, state, frame_u8, config,
+                                         heads_fn)
+    state = jax.tree.map(lambda n, o: jnp.where(advance, n, o), new_state,
+                         state)
+    out = dict(out)
+    out["emit"] = out["emit"] & advance
+    out["num_active"] = jnp.where(advance, out["num_active"], 0)
+    return state, out
+
+
+class StreamServer:
+    """Dynamic multi-video serving over a fixed slot pool.
+
+    Usage:
+        srv = StreamServer(num_streams=8, frame_shape=(720, 1280))
+        sid = srv.open_stream()
+        srv.submit(sid, frame)          # enqueue; any number of streams
+        n = srv.step()                  # one lockstep dispatch
+        for out in srv.poll(sid): ...   # drained per-stream outputs
+        srv.close_stream(sid)           # EOS; slot returns to the pool
+
+    Slots are reused: reopening resets that slot's tracker state
+    in-graph (no recompile, no reshape). Outputs are host dicts per
+    frame (same keys as PosePipeline.process_frame outputs).
+    """
+
+    def __init__(self, num_streams: int, frame_shape: tuple[int, int],
+                 config: PipelineConfig = PipelineConfig(),
+                 mesh: Optional[Mesh] = None, params=None, seed: int = 0,
+                 dtype=jnp.bfloat16, heads_fn=None):
+        self.config = config
+        self.num_streams = num_streams
+        self.frame_h, self.frame_w = frame_shape
+        self.mesh = mesh if mesh is not None else make_mesh()
+        if heads_fn is not None:
+            self.heads_fn = heads_fn     # detector override (oracle/eval)
+        else:
+            self.heads_fn, init_fn = build_model_heads(config.model_name,
+                                                       dtype)
+            if params is None:
+                params = init_fn(jax.random.PRNGKey(seed))
+
+        stream = NamedSharding(self.mesh, P("stream"))
+        replicated = NamedSharding(self.mesh, P())
+        init_state = jax.vmap(
+            lambda _: TrackerState.init(config.tracker.max_tracks,
+                                        config.tracker.max_detections)
+        )(jnp.arange(num_streams))
+        self.states = jax.device_put(init_state, stream)
+        self.params = jax.device_put(params, replicated)
+
+        vstep = jax.vmap(
+            functools.partial(_gated_stream_step, config=config,
+                              heads_fn=self.heads_fn),
+            in_axes=(None, 0, 0, 0, 0))
+        self._step = jax.jit(
+            vstep,
+            in_shardings=(replicated, stream, stream, stream, stream),
+            out_shardings=(stream, stream),
+            donate_argnums=(1,),
+        )
+        self._frame_sharding = stream
+
+        self._open = [False] * num_streams
+        self._pending_reset = np.zeros(num_streams, bool)
+        self._in: list = [collections.deque() for _ in range(num_streams)]
+        self._out: list = [collections.deque() for _ in range(num_streams)]
+
+    # -- lifecycle ---------------------------------------------------------
+    def open_stream(self) -> int:
+        """Claim a free slot; its tracker state resets on the next step.
+        Raises RuntimeError when the pool is exhausted."""
+        for sid in range(self.num_streams):
+            if not self._open[sid]:
+                self._open[sid] = True
+                self._pending_reset[sid] = True
+                self._in[sid].clear()
+                self._out[sid].clear()
+                return sid
+        raise RuntimeError(
+            f"all {self.num_streams} stream slots in use")
+
+    def close_stream(self, sid: int):
+        """EOS: release the slot. Pending inputs are dropped; already
+        produced outputs stay pollable until reopened."""
+        self._check(sid)
+        self._open[sid] = False
+        self._in[sid].clear()
+
+    # -- data plane ---------------------------------------------------------
+    def submit(self, sid: int, frame_bgr: np.ndarray):
+        self._check(sid)
+        if frame_bgr.shape[:2] != (self.frame_h, self.frame_w):
+            raise ValueError(
+                f"frame {frame_bgr.shape[:2]} != server geometry "
+                f"{(self.frame_h, self.frame_w)}")
+        self._in[sid].append(np.ascontiguousarray(frame_bgr))
+
+    def step(self) -> int:
+        """One lockstep dispatch: consumes at most one queued frame per
+        open stream. Returns the number of frames consumed (0 = nothing
+        queued; no dispatch happens)."""
+        advance = np.zeros(self.num_streams, bool)
+        frames = np.zeros((self.num_streams, self.frame_h, self.frame_w,
+                           3), np.uint8)
+        served = []
+        for sid in range(self.num_streams):
+            if self._open[sid] and self._in[sid]:
+                frames[sid] = self._in[sid].popleft()
+                advance[sid] = True
+                served.append(sid)
+        if not served:
+            return 0
+        reset = self._pending_reset.copy()
+        self._pending_reset[:] = False
+
+        frames_dev = jax.device_put(jnp.asarray(frames),
+                                    self._frame_sharding)
+        self.states, out = self._step(self.params, self.states,
+                                      frames_dev, jnp.asarray(advance),
+                                      jnp.asarray(reset))
+        host = jax.device_get(out)
+        for sid in served:
+            self._out[sid].append({k: v[sid] for k, v in host.items()})
+        return len(served)
+
+    def poll(self, sid: int):
+        """Drain and return this stream's completed outputs."""
+        outs = list(self._out[sid])
+        self._out[sid].clear()
+        return outs
+
+    def _check(self, sid: int):
+        if not (0 <= sid < self.num_streams) or not self._open[sid]:
+            raise KeyError(f"stream {sid} is not open")

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Chunk-step MFU decomposition on the TPU (VERDICT r1 item 5).
+
+Times each slice of the 128-frame chunk step separately — letterbox,
+model forward, decode+NMS, tracker scan — plus the fused whole, with
+free-running dispatch loops (single final sync) so the tunnel RPC
+floor amortizes. Prints per-frame ms and the implied share of the
+fused step, identifying where the non-MXU time goes.
+
+Usage: python scripts/bench_stages.py [-k 128] [--iters 10]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-k", "--chunk", type=int, default=128)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--model", default="yolov8n-pose")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from posebyte_tpu.core.config import (DetectorConfig, PipelineConfig,
+                                          TrackerConfig)
+    from posebyte_tpu.core.structs import TrackerState
+    from posebyte_tpu.ops.decode import decode_topk
+    from posebyte_tpu.ops.nms import pose_nms
+    from posebyte_tpu.ops.preprocess import letterbox_flat_nhwc
+    from posebyte_tpu.pipeline import PosePipeline
+    from posebyte_tpu.tracker.output import extract_outputs_device
+    from posebyte_tpu.tracker.step import tracker_step
+
+    K, H, W = args.chunk, 720, 1280
+    config = PipelineConfig(
+        detector=DetectorConfig(input_size=640, num_anchors=8400),
+        tracker=TrackerConfig(), model_name=args.model, precision="bf16")
+    pipe = PosePipeline(config)
+    det_cfg, trk_cfg = config.detector, config.tracker
+    S = det_cfg.input_size
+
+    rng = np.random.default_rng(0)
+    flat = jax.device_put(rng.integers(
+        0, 255, (K, H * W * 3), dtype=np.uint8))
+    jax.block_until_ready(flat)
+
+    lb = jax.jit(lambda f: jax.vmap(
+        lambda x: letterbox_flat_nhwc(x, W, H, S))(f))
+    imgs = lb(flat)
+
+    heads = jax.jit(lambda p, im: pipe.heads_fn(p, im))
+    box, cls, kpt = heads(pipe.params, imgs)
+
+    def _dec(b, c, k):
+        d = decode_topk(b, c, k, det_cfg.conf_threshold,
+                        det_cfg.max_candidates, S)
+        return pose_nms(d, det_cfg.iou_threshold, det_cfg.oks_threshold,
+                        det_cfg.max_detections)
+
+    dec = jax.jit(lambda b, c, k: jax.vmap(_dec)(b, c, k))
+    dets = dec(box, cls, kpt)
+
+    def _track(state, dets):
+        def one(state, det):
+            state, aux = tracker_step(state, det, trk_cfg)
+            outs = extract_outputs_device(state, det.scores, trk_cfg)
+            return state, outs
+        return jax.lax.scan(one, state, dets)
+
+    track = jax.jit(_track)
+    state0 = TrackerState.init(trk_cfg.max_tracks, trk_cfg.max_detections)
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(*a)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) * 1e3 / args.iters / K
+
+    rows = {}
+    rows["letterbox"] = timeit(lb, flat)
+    rows["model_forward"] = timeit(heads, pipe.params, imgs)
+    rows["decode_nms"] = timeit(dec, box, cls, kpt)
+    rows["tracker_scan"] = timeit(lambda s: track(s, dets)[1], state0)
+
+    # fused whole-chunk step (production path)
+    pipe.process_chunk_device(flat, H, W)
+    step = pipe._chunk_step_for(K, H, W)
+
+    def fused(state, f):
+        return step(pipe.params, state, f)[1]
+
+    # donation: pass fresh state each call
+    jf = lambda: fused(TrackerState.init(trk_cfg.max_tracks,
+                                         trk_cfg.max_detections), flat)
+    rows["fused_step"] = timeit(jf)
+
+    total_slices = sum(v for k, v in rows.items() if k != "fused_step")
+    print(f"{'slice':15s} ms/frame   share-of-fused")
+    for k, v in rows.items():
+        share = v / rows["fused_step"] if k != "fused_step" else 1.0
+        print(f"{k:15s} {v:8.4f}   {share:6.1%}")
+    print(f"{'sum(slices)':15s} {total_slices:8.4f}   "
+          f"{total_slices / rows['fused_step']:6.1%} "
+          f"(fusion saves the rest)")
+    gflops = 9.2
+    print(f"model MFU: {gflops / rows['model_forward'] / 1e3:.3f} "
+          f"PFLOP-frac... {gflops / rows['model_forward']:.1f} TFLOP/s "
+          f"effective of ~197 peak "
+          f"({gflops / rows['model_forward'] / 197:.1%})")
+    print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""StreamServer: dynamic stream lifecycle over the sharded lockstep
+pipeline (open/close/reuse/starvation semantics), on the 8-virtual-
+device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+
+from posebyte_tpu.core.config import (DetectorConfig, PipelineConfig,
+                                      TrackerConfig)
+from posebyte_tpu.models.oracle import encode_oracle_head, make_oracle_heads
+from posebyte_tpu.pipeline.serving import StreamServer
+from posebyte_tpu.parallel import make_mesh
+from posebyte_tpu.utils.synthetic import SyntheticScene, pose_bbox
+
+H, W, S = 96, 128, 64
+CONFIG = PipelineConfig(
+    detector=DetectorConfig(input_size=S, num_anchors=84,
+                            max_candidates=16, max_detections=4),
+    tracker=TrackerConfig(max_tracks=8, max_detections=4, min_hits=1),
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    return StreamServer(num_streams=8, frame_shape=(H, W), config=CONFIG,
+                        mesh=make_mesh(8), dtype=jax.numpy.float32)
+
+
+def _frame(rng):
+    return rng.integers(0, 255, (H, W, 3), np.uint8)
+
+
+def test_lifecycle_open_submit_step_poll_close(server):
+    rng = np.random.default_rng(0)
+    a = server.open_stream()
+    b = server.open_stream()
+    assert a != b
+    for _ in range(2):
+        server.submit(a, _frame(rng))
+    server.submit(b, _frame(rng))
+    assert server.step() == 2          # one frame per stream consumed
+    assert server.step() == 1          # a's second frame
+    assert server.step() == 0          # nothing queued -> no dispatch
+    outs_a, outs_b = server.poll(a), server.poll(b)
+    assert len(outs_a) == 2 and len(outs_b) == 1
+    assert outs_a[0]["emit"].shape == (4,)
+    server.close_stream(a)
+    server.close_stream(b)
+    with pytest.raises(KeyError):
+        server.submit(a, _frame(rng))
+
+
+def _episode_ids(srv, sid, frame, n=4):
+    """Feed n identical frames to one stream; return emitted track ids."""
+    ids = set()
+    for _ in range(n):
+        srv.submit(sid, frame)
+        srv.step()
+    for out in srv.poll(sid):
+        for d in range(len(out["emit"])):
+            if out["emit"][d]:
+                ids.add(int(out["ids"][d]))
+    return ids
+
+
+def test_slot_reuse_resets_tracker_state():
+    """Track ids restart after close+reopen of the same slot: the
+    in-graph reset really reinitializes that slot's TrackerState
+    (next_id back to 1, no surviving tracks)."""
+    scene = SyntheticScene(1, W, H, seed=5, scale_range=(30.0, 40.0),
+                           speed=0.0)
+    gt = scene.step()
+    head = encode_oracle_head(
+        gt, np.stack([pose_bbox(p) for p in gt]),
+        np.asarray([0.9], np.float32), S)
+    srv = StreamServer(num_streams=8, frame_shape=(H, W), config=CONFIG,
+                       mesh=make_mesh(8), params=head,
+                       dtype=jax.numpy.float32,
+                       heads_fn=make_oracle_heads())
+    frame = np.zeros((H, W, 3), np.uint8)   # pixels unused by oracle
+
+    sid = srv.open_stream()
+    first = _episode_ids(srv, sid, frame)
+    assert first == {1}                      # one person -> track id 1
+    assert int(np.asarray(srv.states.next_id)[sid]) == 2
+    srv.close_stream(sid)
+
+    sid2 = srv.open_stream()
+    assert sid2 == sid                       # slot reused
+    second = _episode_ids(srv, sid2, frame)
+    assert second == {1}                     # ids restart after reset
+    srv.close_stream(sid2)
+
+
+def test_starved_stream_does_not_age(server):
+    """A stream with no queued frame must not advance its tracker state
+    while other streams run (advance-gating)."""
+    rng = np.random.default_rng(1)
+    a = server.open_stream()
+    b = server.open_stream()
+    server.submit(a, _frame(rng))
+    server.step()
+    frame_a_before = int(np.asarray(server.states.frame)[a])
+    frame_b_before = int(np.asarray(server.states.frame)[b])
+    # run 3 steps feeding only b
+    for _ in range(3):
+        server.submit(b, _frame(rng))
+        server.step()
+    assert int(np.asarray(server.states.frame)[a]) == frame_a_before
+    assert int(np.asarray(server.states.frame)[b]) == frame_b_before + 3
+    server.close_stream(a)
+    server.close_stream(b)
+
+
+def test_pool_exhaustion(server):
+    sids = [server.open_stream() for _ in range(8)]
+    with pytest.raises(RuntimeError):
+        server.open_stream()
+    for sid in sids:
+        server.close_stream(sid)
