@@ -98,6 +98,17 @@ def main():
         tiny(z).block_until_ready()
         floor.append((time.perf_counter() - t0) * 1e3)
 
+    # (1b) single quiesced H2D of one 2.7MB frame — measured while the
+    # relay queue is quiet (ingest itself is cheap; queued transfers
+    # congest it and it recovers slowly, so take min over probes)
+    h2d = []
+    for i in range(8):
+        time.sleep(0.3)
+        f2 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8).reshape(-1)
+        t0 = time.perf_counter()
+        jax.device_put(f2).block_until_ready()
+        h2d.append((time.perf_counter() - t0) * 1e3)
+
     # (2) fully synchronous fresh-host-buffer per-frame (worst case)
     lat_stream = []
     for i in range(10):
@@ -132,22 +143,43 @@ def main():
     last["emit"].block_until_ready()
     exec_ms = (time.perf_counter() - t0) * 1e3 / n_exec
 
-    # (5) single quiesced H2D of one 2.7MB frame (ingest itself is
-    # cheap; the relay congests with queued transfers and recovers
-    # slowly, so take the min over settled probes)
-    h2d = []
-    for i in range(8):
-        time.sleep(0.3)
-        f2 = rng.integers(0, 255, (H, W, 3), dtype=np.uint8).reshape(-1)
+
+    # -- INT8 leg: same chunk loop with a w8a8-quantized engine --------
+    # (act_scale values don't affect throughput; calibration quality is
+    # covered by tests/test_accuracy_loop.py's agreement metric)
+    int8_fields = {}
+    try:
+        import jax.numpy as jnp
+        from posebyte_tpu.models.quant import conv_paths, quantize_params
+        qparams = quantize_params(pipe.params)
+        for node in conv_paths(qparams).values():
+            if "scale" in node:
+                node["act_scale"] = jnp.asarray(0.05, jnp.float32)
+        qconfig = PipelineConfig(
+            detector=config.detector, tracker=config.tracker,
+            model_name=config.model_name, precision="int8")
+        qpipe = PosePipeline(qconfig, params=qparams)
+        for s in staged:
+            qout = qpipe.process_chunk_device(s, H, W)
+        jax.block_until_ready(qout["emit"])
         t0 = time.perf_counter()
-        jax.device_put(f2).block_until_ready()
-        h2d.append((time.perf_counter() - t0) * 1e3)
+        for i in range(n_chunks):
+            qout = qpipe.process_chunk_device(staged[i % n_staged], H, W)
+        jax.block_until_ready(qout["emit"])
+        int8_fps = n_frames / (time.perf_counter() - t0)
+        int8_fields = {
+            "int8_fps": round(float(int8_fps), 2),
+            "int8_vs_bf16": round(float(int8_fps / fps), 4),
+        }
+    except Exception as e:   # int8 leg must not kill the headline
+        int8_fields = {"int8_error": f"{type(e).__name__}: {e}"[:120]}
 
     result = {
         "metric": "e2e_tracked_fps_yolov8n_640",
         "value": round(float(fps), 2),
         "unit": "fps",
         "vs_baseline": round(float(fps / BASELINE_FPS), 4),
+        **int8_fields,
         "p50_frame_exec_ms": round(exec_ms, 3),
         "h2d_min_ms": round(float(np.min(h2d)), 3),
         "p50_stream_ms": p50(lat_stream),
