@@ -64,12 +64,45 @@ def main():
         out = pipe.process_chunk_device(s, H, W)
     jax.block_until_ready(out["emit"])
 
-    # Throughput: steady-state chunk loop, tracker state threaded.
-    n_chunks = 8
+    # Throughput: the steady-state chunk loop runs as ONE executable —
+    # a lax.scan over n_chunks, each chunk derived IN-GRAPH from a
+    # staged base XOR (loop index + per-run salt), tracker state
+    # threaded through the scan. Rationale (docs/DEVELOPMENT.md quirks,
+    # all verified this round): the relay (a) memoizes repeated
+    # (executable, buffers) dispatches, (b) runs a multi-second slow
+    # path for each never-seen input buffer, and (c) sometimes returns
+    # early from block_until_ready on device-lineage buffers — so any
+    # host-side dispatch loop either measures nothing or measures relay
+    # pathology. One dispatch + one device_get value fetch (which must
+    # materialize real bytes) sidesteps all three; the per-run salt
+    # defeats cross-run whole-executable memoization.
+    import jax.numpy as jnp
+    from jax import lax
+    n_chunks = 16
+
+    def bench_loop(params, state, bases, salt):
+        body_fn = pipe.chunk_body(K, H, W)
+
+        def body(state, i):
+            f = lax.dynamic_index_in_dim(bases, i % n_staged, 0,
+                                         keepdims=False)
+            f = jnp.bitwise_xor(f, (i + salt).astype(jnp.uint8))
+            state, outs = body_fn(params, state, f)
+            return state, outs["num_active"][-1]
+
+        return lax.scan(body, state, jnp.arange(n_chunks))
+
+    bench_jit = jax.jit(bench_loop, donate_argnums=(1,))
+    bases = jnp.stack(staged)
+    salt = np.random.randint(0, 200)
+    state, na = bench_jit(pipe.params, pipe.state, bases,
+                          jnp.uint8(salt))        # compile + warm
+    _ = int(jax.device_get(na)[-1])
+    pipe.state = state
     t_start = time.perf_counter()
-    for i in range(n_chunks):
-        out = pipe.process_chunk_device(staged[i % n_staged], H, W)
-    jax.block_until_ready(out["emit"])
+    pipe.state, na = bench_jit(pipe.params, pipe.state, bases,
+                               jnp.uint8(salt + 1))
+    _ = int(jax.device_get(na)[-1])
     total = time.perf_counter() - t_start
     n_frames = n_chunks * K
     fps = n_frames / total
@@ -127,9 +160,13 @@ def main():
         lat_res.append((time.perf_counter() - t0) * 1e3)
 
     # (4) per-frame executable time: free-running single-frame steps on
-    # a small ring of device-resident frames (distinct content), one
-    # final sync. This is the per-frame compute cost a non-tunneled
-    # deployment pays (plus its own sub-ms H2D + sync).
+    # a small ring of device-resident frames (distinct content), timing
+    # ended by a value fetch. (A scan formulation would dodge the relay
+    # entirely but puts the conv net inside a loop body — quirk 5's
+    # ~40x-slower compilation — so this one stays a host loop; the
+    # single-frame executable has never shown the chunk loop's memo /
+    # slow-path pathology.) This is the per-frame compute cost a
+    # non-tunneled deployment pays (plus its own sub-ms H2D + sync).
     ring = [jax.device_put(
         np.ascontiguousarray(rng.integers(0, 255, (H, W, 3),
                                           dtype=np.uint8)).reshape(-1))
@@ -140,7 +177,7 @@ def main():
     last = None
     for i in range(n_exec):
         last = pipe.process_frame_device(ring[i % 4], H, W)
-    last["emit"].block_until_ready()
+    _ = int(jax.device_get(last["num_active"]))
     exec_ms = (time.perf_counter() - t0) * 1e3 / n_exec
 
 
@@ -159,13 +196,27 @@ def main():
             detector=config.detector, tracker=config.tracker,
             model_name=config.model_name, precision="int8")
         qpipe = PosePipeline(qconfig, params=qparams)
-        for s in staged:
-            qout = qpipe.process_chunk_device(s, H, W)
-        jax.block_until_ready(qout["emit"])
+
+        def qbench_loop(params, state, bases, salt):
+            body_fn = qpipe.chunk_body(K, H, W)
+
+            def body(state, i):
+                f = lax.dynamic_index_in_dim(bases, i % n_staged, 0,
+                                             keepdims=False)
+                f = jnp.bitwise_xor(f, (i + salt).astype(jnp.uint8))
+                state, outs = body_fn(params, state, f)
+                return state, outs["num_active"][-1]
+
+            return lax.scan(body, state, jnp.arange(n_chunks))
+
+        qbench_jit = jax.jit(qbench_loop, donate_argnums=(1,))
+        qstate, qna = qbench_jit(qpipe.params, qpipe.state, bases,
+                                 jnp.uint8(salt + 31))   # compile+warm
+        _ = int(jax.device_get(qna)[-1])
         t0 = time.perf_counter()
-        for i in range(n_chunks):
-            qout = qpipe.process_chunk_device(staged[i % n_staged], H, W)
-        jax.block_until_ready(qout["emit"])
+        _, qna = qbench_jit(qpipe.params, qstate, bases,
+                            jnp.uint8(salt + 32))
+        _ = int(jax.device_get(qna)[-1])
         int8_fps = n_frames / (time.perf_counter() - t0)
         int8_fields = {
             "int8_fps": round(float(int8_fps), 2),

@@ -24,10 +24,11 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9
 
 
-def _auction_kernel(cost_ref, active_ref, row_out_ref, col_out_ref,
-                    *, num_iters: int):
-    cost = cost_ref[:]                          # [R, C] f32
-    active = active_ref[:]                      # [R, 1] int32
+def auction_rounds(cost, active, num_iters: int):
+    """The auction itself, on VMEM values: cost [R, C] f32 (locked pairs
+    ~1e9), active [R, 1] int32 -> (row_assign [R, 1], col_assign [1, C])
+    int32. Shared by the standalone kernel below and the fused tracker
+    chunk kernel (ops/pallas_tracker.py)."""
     R, C = cost.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
@@ -81,6 +82,13 @@ def _auction_kernel(cost_ref, active_ref, row_out_ref, col_out_ref,
             jnp.int32(0), jnp.int32(1))
     row_assign, col_assign, _, _, _, _ = jax.lax.while_loop(
         cond, round_fn, init)
+    return row_assign, col_assign
+
+
+def _auction_kernel(cost_ref, active_ref, row_out_ref, col_out_ref,
+                    *, num_iters: int):
+    row_assign, col_assign = auction_rounds(cost_ref[:], active_ref[:],
+                                            num_iters)
     row_out_ref[:] = row_assign
     col_out_ref[:] = col_assign
 

@@ -121,7 +121,6 @@ class PosePipeline:
         trk_cfg = self.config.tracker
         heads_fn = self.heads_fn
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_step(params, state, frames_flat_u8):
             # [K, H*W*3] -> [K, S, S, 3] letterboxed batch (NHWC direct)
             imgs = jax.vmap(
@@ -139,6 +138,15 @@ class PosePipeline:
 
             dets = jax.vmap(decode_one)(box, cls, kpt)  # leading K axis
 
+            # TPU: the whole K-frame tracker recurrence as ONE fused
+            # Pallas kernel with the state VMEM-resident across frames
+            # (ops/pallas_tracker.py — removes the ~100-op/frame scan
+            # overhead). Elsewhere / kalman136: the lax.scan path.
+            if (jax.default_backend() == "tpu"
+                    and trk_cfg.motion_model == "cv"):
+                from ..ops.pallas_tracker import tracker_chunk_pallas
+                return tracker_chunk_pallas(state, dets, trk_cfg)
+
             def track_one(state, det):
                 state, aux = tracker_step(state, det, trk_cfg)
                 ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -152,11 +160,22 @@ class PosePipeline:
 
         return chunk_step
 
+    def chunk_body(self, k: int, h: int, w: int):
+        """The UNJITTED chunk-step function (params, state, frames_flat)
+        -> (state, outs) — for callers composing it into larger traced
+        programs (bench loops, serving graphs)."""
+        key = ("chunk_body", k, h, w)
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = self._make_chunk_step(k, h, w)
+            self._step_cache[key] = fn
+        return fn
+
     def _chunk_step_for(self, k: int, h: int, w: int):
         key = ("chunk", k, h, w)
         step = self._step_cache.get(key)
         if step is None:
-            step = self._make_chunk_step(k, h, w)
+            step = jax.jit(self.chunk_body(k, h, w), donate_argnums=(1,))
             self._step_cache[key] = step
         return step
 

@@ -82,32 +82,58 @@ def main():
     track = jax.jit(_track)
     state0 = TrackerState.init(trk_cfg.max_tracks, trk_cfg.max_detections)
 
-    def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+    # The relay memoizes (executable, input-buffer) pairings, including
+    # previously seen staged buffers (docs/DEVELOPMENT.md quirk 1) —
+    # every timed loop must make its input content genuinely fresh. A
+    # threaded counter perturbs the input inside the jitted function
+    # (the add fuses into the consumer; counter buffer changes per call)
+    # so nothing memoizes while the measured op dominates.
+    def timeit_fresh(make_fn, *xs):
+        f = jax.jit(make_fn)
+        c = jnp.int32(0)
+        for _ in range(2):
+            c, out = f(c, *xs)
+            jax.block_until_ready(out)
         t0 = time.perf_counter()
+        for _ in range(args.iters):
+            c, out = f(c, *xs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) * 1e3 / args.iters / K
+
+    rows = {}
+    rows["letterbox"] = timeit_fresh(
+        lambda c, f: (c + 1, jax.vmap(
+            lambda x: letterbox_flat_nhwc(x, W, H, S)
+        )(jnp.bitwise_xor(f, c.astype(jnp.uint8)))), flat)
+    rows["model_forward"] = timeit_fresh(
+        lambda c, im: (c + 1, pipe.heads_fn(
+            pipe.params, im + c.astype(imgs.dtype) * 1e-6)[0]), imgs)
+    rows["decode_nms"] = timeit_fresh(
+        lambda c, b, cl, k: (c + 1, jax.vmap(_dec)(
+            b + c.astype(b.dtype) * 1e-6, cl, k).scores),
+        box, cls, kpt)
+
+    # tracker scan / fused step: state threading already defeats the memo
+    st = [state0]
+
+    def track_threaded(d):
+        new_state, outs = track(st[0], d)
+        st[0] = new_state
+        return outs
+
+    def timeit_threaded(fn, *a):
+        for _ in range(2):
+            jax.block_until_ready(jax.tree.leaves(fn(*a))[0])
+        t0 = time.perf_counter()
+        out = None
         for _ in range(args.iters):
             out = fn(*a)
         jax.block_until_ready(jax.tree.leaves(out)[0])
         return (time.perf_counter() - t0) * 1e3 / args.iters / K
 
-    rows = {}
-    rows["letterbox"] = timeit(lb, flat)
-    rows["model_forward"] = timeit(heads, pipe.params, imgs)
-    rows["decode_nms"] = timeit(dec, box, cls, kpt)
-    rows["tracker_scan"] = timeit(lambda s: track(s, dets)[1], state0)
-
-    # fused whole-chunk step (production path)
-    pipe.process_chunk_device(flat, H, W)
-    step = pipe._chunk_step_for(K, H, W)
-
-    def fused(state, f):
-        return step(pipe.params, state, f)[1]
-
-    # donation: pass fresh state each call
-    jf = lambda: fused(TrackerState.init(trk_cfg.max_tracks,
-                                         trk_cfg.max_detections), flat)
-    rows["fused_step"] = timeit(jf)
+    rows["tracker_scan"] = timeit_threaded(track_threaded, dets)
+    rows["fused_step"] = timeit_threaded(
+        lambda f: pipe.process_chunk_device(f, H, W)["emit"], flat)
 
     total_slices = sum(v for k, v in rows.items() if k != "fused_step")
     print(f"{'slice':15s} ms/frame   share-of-fused")

@@ -1,0 +1,132 @@
+"""Fused tracker chunk kernel vs the lax.scan reference: exact
+equivalence over multi-frame scenarios (interpret mode on the CPU
+backend; the same comparison runs on real TPU via the benchmark)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posebyte_tpu.core.config import TrackerConfig
+from posebyte_tpu.core.structs import Detections, TrackerState
+from posebyte_tpu.ops.pallas_tracker import tracker_chunk_pallas
+from posebyte_tpu.tracker.output import extract_outputs_device
+from posebyte_tpu.tracker.step import tracker_step
+from posebyte_tpu.utils.synthetic import SyntheticScene, poses_to_detections
+
+CFG = TrackerConfig(max_tracks=128, max_detections=64)
+
+
+def _scan_reference(state, dets, cfg):
+    def track_one(state, det):
+        state, aux = tracker_step(state, det, cfg)
+        ids, scores, poses, boxes, emit = extract_outputs_device(
+            state, det.scores, cfg)
+        return state, {"ids": ids, "scores": scores, "poses": poses,
+                       "boxes": boxes, "emit": emit,
+                       "num_active": aux["num_active"]}
+    return jax.lax.scan(track_one, state, dets)
+
+
+def _stack_dets(det_list):
+    return Detections(
+        poses=jnp.stack([d.poses for d in det_list]),
+        boxes=jnp.stack([d.boxes for d in det_list]),
+        scores=jnp.stack([d.scores for d in det_list]),
+        valid=jnp.stack([d.valid for d in det_list]),
+    )
+
+
+def _compare(state0, dets, cfg, frames_note=""):
+    ref_state, ref_out = jax.jit(
+        lambda s, d: _scan_reference(s, d, cfg))(state0, dets)
+    got_state, got_out = tracker_chunk_pallas(
+        TrackerState.init(cfg.max_tracks, cfg.max_detections)
+        if state0 is None else state0, dets, cfg, interpret=True)
+
+    ref_out, got_out = jax.device_get((ref_out, got_out))
+    np.testing.assert_array_equal(ref_out["emit"], got_out["emit"],
+                                  err_msg=f"emit {frames_note}")
+    np.testing.assert_array_equal(ref_out["ids"], got_out["ids"],
+                                  err_msg=f"ids {frames_note}")
+    np.testing.assert_allclose(ref_out["scores"], got_out["scores"],
+                               atol=1e-5)
+    np.testing.assert_allclose(ref_out["poses"], got_out["poses"],
+                               atol=1e-3)
+    np.testing.assert_allclose(ref_out["boxes"], got_out["boxes"],
+                               atol=1e-2)
+    np.testing.assert_array_equal(ref_out["num_active"],
+                                  got_out["num_active"])
+
+    ref_state, got_state = jax.device_get((ref_state, got_state))
+    np.testing.assert_array_equal(ref_state.ids, got_state.ids)
+    np.testing.assert_array_equal(ref_state.states, got_state.states)
+    np.testing.assert_array_equal(ref_state.hits, got_state.hits)
+    np.testing.assert_array_equal(ref_state.ages, got_state.ages)
+    np.testing.assert_array_equal(ref_state.active, got_state.active)
+    np.testing.assert_array_equal(ref_state.last_frame,
+                                  got_state.last_frame)
+    assert int(ref_state.next_id) == int(got_state.next_id)
+    assert int(ref_state.frame) == int(got_state.frame)
+    np.testing.assert_array_equal(ref_state.det_track_slot,
+                                  got_state.det_track_slot)
+    np.testing.assert_allclose(ref_state.poses, got_state.poses,
+                               atol=1e-3)
+    np.testing.assert_allclose(ref_state.velocities,
+                               got_state.velocities, atol=1e-3)
+    np.testing.assert_allclose(ref_state.scores, got_state.scores,
+                               atol=1e-5)
+
+
+def test_chunk_kernel_matches_scan_moving_scene():
+    """6 frames of 5 moving figures: identical ids/emit/poses/state."""
+    scene = SyntheticScene(5, 1280, 720, seed=3)
+    dets = _stack_dets([poses_to_detections(gt, 64)
+                        for gt in scene.frames(6)])
+    _compare(TrackerState.init(128, 64), dets, CFG, "moving")
+
+
+def test_chunk_kernel_matches_scan_with_dropouts():
+    """Appear / disappear / reappear: exercises aging, lost recovery,
+    new-track allocation, and dedup against the scan path."""
+    scene = SyntheticScene(6, 960, 540, seed=9)
+    rng = np.random.default_rng(4)
+    det_list = []
+    for f, gt in enumerate(scene.frames(10)):
+        keep = rng.random(len(gt)) > 0.3        # random dropouts
+        subset = gt[keep] if keep.any() else gt[:1]
+        det_list.append(poses_to_detections(subset, 64,
+                                            score=0.4 + 0.5 * rng.random()))
+    _compare(TrackerState.init(128, 64), _stack_dets(det_list), CFG,
+             "dropouts")
+
+
+def test_chunk_kernel_empty_and_crowded_frames():
+    """Empty frames interleaved with a crowded frame (40 people)."""
+    scene = SyntheticScene(40, 3840, 2160, seed=5,
+                           scale_range=(60.0, 90.0))
+    crowded = [poses_to_detections(gt, 64) for gt in scene.frames(3)]
+    empty = Detections.empty(64)
+    dets = _stack_dets([empty, crowded[0], crowded[1], empty,
+                        crowded[2]])
+    _compare(TrackerState.init(128, 64), dets, CFG, "empty+crowded")
+
+
+def test_chunk_kernel_continues_from_state():
+    """Chunk-to-chunk state threading matches one long scan."""
+    scene = SyntheticScene(4, 640, 480, seed=11)
+    all_dets = [poses_to_detections(gt, 64) for gt in scene.frames(8)]
+    full = _stack_dets(all_dets)
+    ref_state, _ = jax.jit(
+        lambda s, d: _scan_reference(s, d, CFG))(
+            TrackerState.init(128, 64), full)
+
+    state = TrackerState.init(128, 64)
+    for half in (all_dets[:4], all_dets[4:]):
+        state, _ = tracker_chunk_pallas(state, _stack_dets(half), CFG,
+                                        interpret=True)
+    ref_state, state = jax.device_get((ref_state, state))
+    np.testing.assert_array_equal(ref_state.ids, state.ids)
+    np.testing.assert_array_equal(ref_state.active, state.active)
+    np.testing.assert_array_equal(ref_state.hits, state.hits)
+    assert int(ref_state.next_id) == int(state.next_id)
+    np.testing.assert_allclose(ref_state.poses, state.poses, atol=1e-3)
