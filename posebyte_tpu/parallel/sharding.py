@@ -161,6 +161,17 @@ class MultiStreamChunkPipeline:
 
             dets = jax.vmap(decode_one)(box, cls, kpt)
 
+            # TPU: the K-frame recurrence as one fused Pallas kernel
+            # (ops/pallas_tracker.py) — legal here because shard_map
+            # makes everything device-local; elsewhere / kalman136 the
+            # lax.scan path.
+            if (jax.default_backend() == "tpu"
+                    and trk_cfg.motion_model == "cv"):
+                from ..ops.pallas_tracker import tracker_chunk_pallas
+                state, outs = tracker_chunk_pallas(state, dets, trk_cfg)
+                return state, {"emit": outs["emit"],
+                               "num_active": outs["num_active"]}
+
             def track_one(st, det):
                 st, aux = tracker_step(st, det, trk_cfg)
                 _, _, _, _, emit = extract_outputs_device(
@@ -177,15 +188,23 @@ class MultiStreamChunkPipeline:
     def _step_for(self, h: int, w: int):
         fn = self._steps.get((h, w))
         if fn is None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec
+
             per_stream = functools.partial(self._per_stream, h=h, w=w)
             vstep = jax.vmap(per_stream, in_axes=(None, 0, 0))
-            fn = jax.jit(vstep,
-                         in_shardings=(self._replicated,
-                                       self._stream_sharding,
-                                       self._stream_sharding),
-                         out_shardings=(self._stream_sharding,
-                                        self._stream_sharding),
-                         donate_argnums=(1,))
+            # shard_map (not jit+in_shardings): inside, every array is
+            # the device-local stream shard, so the per-stream vmap —
+            # including the fused Pallas tracker kernel — runs purely
+            # locally; the partitioner never has to split a custom
+            # call. Zero collectives: stream parallelism is embarrassing.
+            P_ = PartitionSpec
+            smap = shard_map(
+                vstep, mesh=self.mesh,
+                in_specs=(P_(), P_("stream"), P_("stream")),
+                out_specs=(P_("stream"), P_("stream")),
+                check_rep=False)
+            fn = jax.jit(smap, donate_argnums=(1,))
             self._steps[(h, w)] = fn
         return fn
 

@@ -130,3 +130,39 @@ def test_chunk_kernel_continues_from_state():
     np.testing.assert_array_equal(ref_state.hits, state.hits)
     assert int(ref_state.next_id) == int(state.next_id)
     np.testing.assert_allclose(ref_state.poses, state.poses, atol=1e-3)
+
+
+def test_chunk_kernel_vmaps_over_streams():
+    """vmap over a stream axis (the multi-stream chunk pipeline's use)
+    matches per-stream sequential application."""
+    streams = 3
+    state0 = jax.vmap(lambda _: TrackerState.init(128, 64))(
+        jnp.arange(streams))
+    det_sets = []
+    for s in range(streams):
+        scene = SyntheticScene(3 + s, 640, 480, seed=20 + s)
+        det_sets.append(_stack_dets([poses_to_detections(gt, 64)
+                                     for gt in scene.frames(5)]))
+    dets_b = Detections(
+        poses=jnp.stack([d.poses for d in det_sets]),
+        boxes=jnp.stack([d.boxes for d in det_sets]),
+        scores=jnp.stack([d.scores for d in det_sets]),
+        valid=jnp.stack([d.valid for d in det_sets]),
+    )
+
+    vstate, vout = jax.vmap(
+        lambda s, d: tracker_chunk_pallas(s, d, CFG, interpret=True)
+    )(state0, dets_b)
+
+    for s in range(streams):
+        rstate, rout = tracker_chunk_pallas(
+            jax.tree.map(lambda a: a[s], state0), det_sets[s], CFG,
+            interpret=True)
+        np.testing.assert_array_equal(np.asarray(vout["ids"][s]),
+                                      np.asarray(rout["ids"]))
+        np.testing.assert_array_equal(np.asarray(vout["emit"][s]),
+                                      np.asarray(rout["emit"]))
+        np.testing.assert_array_equal(np.asarray(vstate.ids[s]),
+                                      np.asarray(rstate.ids))
+        np.testing.assert_allclose(np.asarray(vstate.poses[s]),
+                                   np.asarray(rstate.poses), atol=1e-3)
