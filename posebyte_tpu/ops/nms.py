@@ -96,43 +96,64 @@ def _greedy_keep(overlap_sorted: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3),
                    static_argnames=("iou_threshold", "oks_threshold",
-                                    "max_keep"))
+                                    "max_keep", "presorted"))
 def pose_nms(det: Detections, iou_threshold: float = 0.55,
              oks_threshold: float = 0.55,
-             max_keep: int = C.DEFAULT_MAX_DETECTIONS) -> Detections:
+             max_keep: int = C.DEFAULT_MAX_DETECTIONS,
+             presorted: bool = False) -> Detections:
     """Greedy score-ordered NMS; returns a compacted, score-descending
     Detections of capacity `max_keep` (reference pipeline:
     kernelSortByScore -> kernelApplyNMSMask -> kernelCompactDetections,
-    gpu_postprocess.cu:178-313)."""
-    N = det.capacity
-    order = jnp.argsort(-jnp.where(det.valid, det.scores, -jnp.inf))
-    valid_sorted = det.valid[order]
+    gpu_postprocess.cu:178-313).
 
+    presorted=True skips the score sort + reorder gathers — valid for
+    inputs already score-descending with invalids at the tail, which
+    decode_topk guarantees by construction (its top_k IS the sort)."""
+    N = det.capacity
+    if presorted:
+        sorted_poses, sorted_boxes = det.poses, det.boxes
+        sorted_scores, valid_sorted = det.scores, det.valid
+    else:
+        order = jnp.argsort(-jnp.where(det.valid, det.scores, -jnp.inf))
+        sorted_poses = det.poses[order]
+        sorted_boxes = det.boxes[order]
+        sorted_scores = det.scores[order]
+        valid_sorted = det.valid[order]
+
+    sdet = Detections(poses=sorted_poses, boxes=sorted_boxes,
+                      scores=sorted_scores, valid=valid_sorted)
     if jax.default_backend() == "tpu":
         # Fused Pallas kernel: overlap matrix + greedy fixed point in one
         # VMEM-resident pass (bit-identical; tests/test_pallas_kernels.py).
         from .pallas_kernels import nms_keep_pallas
-        keep_ranked = nms_keep_pallas(det.poses[order], det.boxes[order],
+        keep_ranked = nms_keep_pallas(sorted_poses, sorted_boxes,
                                       valid_sorted, iou_threshold,
                                       oks_threshold)
     else:
-        overlap = nms_overlap_matrix(det, iou_threshold, oks_threshold)
-        overlap_sorted = overlap[order][:, order]
-        keep_ranked = _greedy_keep(overlap_sorted, valid_sorted)
+        overlap = nms_overlap_matrix(sdet, iou_threshold, oks_threshold)
+        keep_ranked = _greedy_keep(overlap, valid_sorted)
 
-    # Compact survivors to the front in score order (kernelCompactDetections).
+    # Compact survivors to the front in score order
+    # (kernelCompactDetections) — as a one-hot selection matmul instead
+    # of a scatter (XLA scatters lower poorly on TPU; a [max_keep, N]
+    # one-hot against the sorted arrays is one MXU pass and exact).
     pos = jnp.cumsum(keep_ranked.astype(jnp.int32)) - 1        # [N]
-    dest = jnp.where(keep_ranked & (pos < max_keep), pos, max_keep)
+    sel = (keep_ranked[None, :]
+           & (pos[None, :] == jnp.arange(max_keep)[:, None]))  # [M,N]
+    sel_f = sel.astype(jnp.float32)
 
-    def scatter(src):
-        out = jnp.zeros((max_keep + 1,) + src.shape[1:], src.dtype)
-        return out.at[dest].set(src[order], mode="drop")[:max_keep]
+    def compact(src):
+        flat = src.reshape(N, -1).astype(jnp.float32)
+        out = jax.lax.dot_general(
+            sel_f, flat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.reshape((max_keep,) + src.shape[1:]).astype(src.dtype)
 
     num_kept = jnp.sum(keep_ranked.astype(jnp.int32))
     out_valid = jnp.arange(max_keep) < jnp.minimum(num_kept, max_keep)
     return Detections(
-        poses=scatter(det.poses),
-        boxes=scatter(det.boxes),
-        scores=scatter(det.scores),
+        poses=compact(sorted_poses),
+        boxes=compact(sorted_boxes),
+        scores=compact(sorted_scores),
         valid=out_valid,
     )

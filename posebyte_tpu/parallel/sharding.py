@@ -50,7 +50,7 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
-                   det_cfg.max_detections)
+                   det_cfg.max_detections, presorted=True)
     state, aux = tracker_step(state, det, config.tracker)
     ids, scores, poses, boxes, emit = extract_outputs_device(
         state, det.scores, config.tracker)
@@ -157,7 +157,7 @@ class MultiStreamChunkPipeline:
                                    det_cfg.input_size)
                 return _pose_nms(det, det_cfg.iou_threshold,
                                  det_cfg.oks_threshold,
-                                 det_cfg.max_detections)
+                                 det_cfg.max_detections, presorted=True)
 
             dets = jax.vmap(decode_one)(box, cls, kpt)
 

@@ -47,7 +47,7 @@ def detect_fn(params, image_hwc, det_cfg: DetectorConfig, heads_fn):
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size)
     return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
-                    det_cfg.max_detections)
+                    det_cfg.max_detections, presorted=True)
 
 
 class PosePipeline:
@@ -134,7 +134,7 @@ class PosePipeline:
                                   det_cfg.input_size)
                 return pose_nms(det, det_cfg.iou_threshold,
                                 det_cfg.oks_threshold,
-                                det_cfg.max_detections)
+                                det_cfg.max_detections, presorted=True)
 
             dets = jax.vmap(decode_one)(box, cls, kpt)  # leading K axis
 

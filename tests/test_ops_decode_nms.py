@@ -165,3 +165,27 @@ def test_decode_topk_matches_dense_path():
     np.testing.assert_allclose(np.asarray(dense.poses),
                                np.asarray(sparse.poses), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_pose_nms_presorted_matches_general():
+    """presorted=True (valid on decode_topk output, which is
+    score-descending by construction) produces identical results to the
+    general sorted path."""
+    import jax
+    import jax.numpy as jnp
+    from posebyte_tpu.ops.decode import decode_topk
+    from posebyte_tpu.ops.nms import pose_nms
+
+    rng = np.random.default_rng(7)
+    A, S = 756, 192
+    box = jnp.asarray(rng.normal(size=(A, 64)), jnp.float32)
+    cls = jnp.asarray(rng.normal(size=(A, 1)), jnp.float32)
+    kpt = jnp.asarray(rng.normal(size=(A, 51)), jnp.float32)
+    det = decode_topk(box, cls, kpt, 0.25, 64, S)
+
+    a = jax.device_get(pose_nms(det, 0.55, 0.55, 16))
+    b = jax.device_get(pose_nms(det, 0.55, 0.55, 16, presorted=True))
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_allclose(a.scores, b.scores, atol=1e-6)
+    np.testing.assert_allclose(a.poses, b.poses, atol=1e-4)
+    np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-4)

@@ -166,3 +166,24 @@ def test_chunk_kernel_vmaps_over_streams():
                                       np.asarray(rstate.ids))
         np.testing.assert_allclose(np.asarray(vstate.poses[s]),
                                    np.asarray(rstate.poses), atol=1e-3)
+
+
+@pytest.mark.parametrize("cfg", [
+    TrackerConfig(max_tracks=64, max_detections=32, min_hits=1),
+    TrackerConfig(max_tracks=128, max_detections=64, match_threshold=0.3,
+                  high_thresh=0.5, new_track_thresh=0.6, max_age=3,
+                  lost_window=2, gate_threshold=2.0,
+                  dedup_iou_threshold=0.5),
+])
+def test_chunk_kernel_config_variations(cfg):
+    """Equivalence holds across pool sizes and threshold settings."""
+    scene = SyntheticScene(5, 800, 600, seed=13)
+    rng = np.random.default_rng(2)
+    det_list = []
+    for gt in scene.frames(7):
+        keep = rng.random(len(gt)) > 0.25
+        subset = gt[keep] if keep.any() else gt[:1]
+        det_list.append(poses_to_detections(
+            subset, cfg.max_detections, score=0.3 + 0.7 * rng.random()))
+    _compare(TrackerState.init(cfg.max_tracks, cfg.max_detections),
+             _stack_dets(det_list), cfg, "config-var")
