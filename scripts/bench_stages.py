@@ -67,7 +67,7 @@ def main():
         d = decode_topk(b, c, k, det_cfg.conf_threshold,
                         det_cfg.max_candidates, S)
         return pose_nms(d, det_cfg.iou_threshold, det_cfg.oks_threshold,
-                        det_cfg.max_detections)
+                        det_cfg.max_detections, presorted=True)
 
     dec = jax.jit(lambda b, c, k: jax.vmap(_dec)(b, c, k))
     dets = dec(box, cls, kpt)
