@@ -187,3 +187,14 @@ def test_chunk_kernel_config_variations(cfg):
             subset, cfg.max_detections, score=0.3 + 0.7 * rng.random()))
     _compare(TrackerState.init(cfg.max_tracks, cfg.max_detections),
              _stack_dets(det_list), cfg, "config-var")
+
+
+def test_chunk_kernel_slot_exhaustion():
+    """More new detections than free slots: allocation must cap at
+    num_free with identical slot/id assignment to the scan path."""
+    cfg = TrackerConfig(max_tracks=8, max_detections=16, min_hits=1)
+    scene = SyntheticScene(12, 1920, 1080, seed=6,
+                           scale_range=(60.0, 90.0))
+    dets = _stack_dets([poses_to_detections(gt, 16)
+                        for gt in scene.frames(4)])
+    _compare(TrackerState.init(8, 16), dets, cfg, "exhaustion")
