@@ -66,3 +66,29 @@ def test_demo_cli_save_resume_state(test_video, tmp_path):
     rc = main(["-e", "yolov8n-pose", "-i", test_video, "-c", "0.30",
                "--precision", "fp32", "--resume-state", state_path])
     assert rc == 0
+
+
+def test_evaluate_cli_smoke(tmp_path, capsys):
+    """evaluate CLI runs the pipeline against GT and emits metrics
+    (random weights -> scores near zero; the contract is the harness)."""
+    import subprocess, sys, os, json
+    video = str(tmp_path / "v.mp4")
+    gt = str(tmp_path / "gt.npz")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/make_test_video.py"),
+         "--out", video, "--frames", "8", "--size", "320x240",
+         "--persons", "2", "--gt", gt],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    from posebyte_tpu.cli.evaluate import main as eval_main
+    rc = eval_main(["-e", "yolov8n-pose", "-i", video, "-g", gt,
+                    "--size", "192", "--max-frames", "5", "--json"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    data = json.loads(line)
+    for key in ("frames", "MOTA", "mAP", "AP50", "id_switches"):
+        assert key in data
+    assert data["frames"] == 5
