@@ -46,6 +46,11 @@ def build_parser():
                    help="process N frames per dispatch (batched detector"
                         " + scanned tracker; best throughput for video"
                         " files; 0 = per-frame streaming)")
+    p.add_argument("--reid", type=float, default=0.0, metavar="W",
+                   help="appearance Re-ID blend weight 0..1 (0 = pure "
+                        "geometric association, the reference behavior;"
+                        " >0 blends a pose-aligned color descriptor "
+                        "into the high-conf and lost-recovery tiers)")
     p.add_argument("--motion-model", default="cv",
                    choices=["cv", "kalman136"],
                    help="tracker motion model: constant-velocity (the"
@@ -103,6 +108,7 @@ def main(argv=None):
         new_track_thresh=args.conf,
         max_age=args.max_age,
         motion_model=args.motion_model,
+        reid_weight=args.reid,
     )
     config = PipelineConfig(
         detector=DetectorConfig(conf_threshold=args.conf,

@@ -40,6 +40,13 @@ class TrackerConfig:
     visibility_threshold: float = C.VISIBILITY_THRESHOLD
     dedup_iou_threshold: float = C.DEDUP_IOU_THRESHOLD
 
+    # Appearance Re-ID blend (beyond the reference, ops/reid.py):
+    # cost' = (1-w)*geometry + w*(1-cosine) in the high-confidence and
+    # lost-recovery tiers. 0 = pure geometric association (reference
+    # behavior, the default).
+    reid_weight: float = 0.0
+    reid_ema: float = 0.9
+
     @staticmethod
     def from_conf_threshold(conf: float, **kw) -> "TrackerConfig":
         """Derive tracker thresholds from detector confidence, as the demo

@@ -72,6 +72,11 @@ class TrackerState:
     kf_mean: jnp.ndarray      # [T, 136] float32
     kf_cov: jnp.ndarray       # [T, 136] float32 (diagonal)
 
+    # Per-track appearance embedding (EMA of matched detections' Re-ID
+    # descriptors; ops/reid.py). Active when TrackerConfig.reid_weight
+    # > 0 — an appearance surface the reference does not have. ~25 KB.
+    embeddings: jnp.ndarray   # [T, REID_DIM] float32
+
     @property
     def capacity(self) -> int:
         return self.poses.shape[0]
@@ -95,6 +100,7 @@ class TrackerState:
             det_track_slot=jnp.full((max_detections,), -1, jnp.int32),
             kf_mean=jnp.zeros((T, C.TOTAL_STATE_DIM), jnp.float32),
             kf_cov=jnp.ones((T, C.TOTAL_STATE_DIM), jnp.float32),
+            embeddings=jnp.zeros((T, C.NUM_KEYPOINTS * 3), jnp.float32),
         )
 
 

@@ -496,6 +496,8 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     """
     assert config.motion_model == "cv", \
         "kalman136 uses the scan path (PosePipeline falls back)"
+    assert config.reid_weight == 0.0, \
+        "Re-ID association uses the scan path (PosePipeline falls back)"
     Kc, D = dets.scores.shape
     T = state.poses.shape[0]
 
@@ -602,6 +604,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         next_id=cnt[0, 0], frame=cnt[0, 1],
         det_track_slot=slot[0],
         kf_mean=state.kf_mean, kf_cov=state.kf_cov,
+        embeddings=state.embeddings,
     )
     outs_dict = {
         "ids": o_ids[:, 0, :],

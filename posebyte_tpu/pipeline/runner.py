@@ -94,7 +94,12 @@ class PosePipeline:
             img = letterbox_flat_nhwc(frame_flat_u8, w, h,
                                       det_cfg.input_size)
             det = detect_fn(params, img, det_cfg, heads_fn)
-            state, aux = tracker_step(state, det, trk_cfg)
+            emb = None
+            if trk_cfg.reid_weight > 0.0:
+                from ..ops.reid import pose_color_embedding
+                emb = pose_color_embedding(img, det.poses)
+            state, aux = tracker_step(state, det, trk_cfg,
+                                      det_embeddings=emb)
             ids, scores, poses, boxes, emit = extract_outputs_device(
                 state, det.scores, trk_cfg)
             out = {"ids": ids, "scores": scores, "poses": poses,
@@ -141,11 +146,32 @@ class PosePipeline:
             # TPU: the whole K-frame tracker recurrence as ONE fused
             # Pallas kernel with the state VMEM-resident across frames
             # (ops/pallas_tracker.py — removes the ~100-op/frame scan
-            # overhead). Elsewhere / kalman136: the lax.scan path.
+            # overhead). Elsewhere / kalman136 / Re-ID: the scan path.
             if (jax.default_backend() == "tpu"
-                    and trk_cfg.motion_model == "cv"):
+                    and trk_cfg.motion_model == "cv"
+                    and trk_cfg.reid_weight == 0.0):
                 from ..ops.pallas_tracker import tracker_chunk_pallas
                 return tracker_chunk_pallas(state, dets, trk_cfg)
+
+            if trk_cfg.reid_weight > 0.0:
+                from ..ops.reid import pose_color_embedding
+                embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
+            else:
+                embs = None
+
+            def track_one_reid(state, det_emb):
+                det, emb = det_emb
+                state, aux = tracker_step(state, det, trk_cfg,
+                                          det_embeddings=emb)
+                ids, scores, poses, boxes, emit = extract_outputs_device(
+                    state, det.scores, trk_cfg)
+                out = {"ids": ids, "scores": scores, "poses": poses,
+                       "boxes": boxes, "emit": emit,
+                       "num_active": aux["num_active"]}
+                return state, out
+
+            if embs is not None:
+                return jax.lax.scan(track_one_reid, state, (dets, embs))
 
             def track_one(state, det):
                 state, aux = tracker_step(state, det, trk_cfg)

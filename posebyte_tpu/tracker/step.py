@@ -88,12 +88,18 @@ def _lock(cost: jnp.ndarray, row_assign: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(0,))
 def tracker_step(state: TrackerState, det: Detections,
-                 config: TrackerConfig = TrackerConfig()):
+                 config: TrackerConfig = TrackerConfig(),
+                 det_embeddings=None):
     """One tracking frame: (state, detections) -> (state', aux).
 
     `det` must be the (padded, score-descending) output of pose_nms with
     capacity == config.max_detections. `aux` carries the per-frame
     telemetry the reference exposes through counters.
+
+    det_embeddings: optional [D, E] appearance descriptors (ops/reid.py);
+    with config.reid_weight > 0 they blend into the high-confidence and
+    lost-recovery association costs and maintain per-track EMA
+    embeddings — an appearance surface beyond the reference.
     """
     T = config.max_tracks
     D = config.max_detections
@@ -129,11 +135,18 @@ def tracker_step(state: TrackerState, det: Detections,
                         config.gate_threshold)       # [T,D]
     gate = gate & dvalid[None, :]
 
+    use_reid = config.reid_weight > 0.0 and det_embeddings is not None
+    if use_reid:
+        from ..ops.reid import blend_reid_cost, cosine_cost_matrix
+        reid_cost = cosine_cost_matrix(state.embeddings, det_embeddings)
+
     # ---- Stage 3: high-confidence tier (full OKS, non-LOST tracks) --------
     non_lost = act & (states != C.TRACK_STATE_LOST)
     gate1 = gate & non_lost[:, None]
     oks1 = oks_matrix(predicted, det.poses, config.visibility_threshold)
     cost = jnp.where(gate1, 1.0 - oks1, LOCK_COST)
+    if use_reid:
+        cost = blend_reid_cost(cost, reid_cost, config.reid_weight)
     row_assign, col_assign = _tier_assign(
         cost, act, jnp.full((T,), -1, jnp.int32), jnp.full((D,), -1,
                                                            jnp.int32))
@@ -152,6 +165,8 @@ def tracker_step(state: TrackerState, det: Detections,
     lost_gate = lost_gate & only_lost[:, None] & dvalid[None, :]
     oks3 = oks_matrix(predicted, det.poses, 0.2)
     cost3 = jnp.where(lost_gate, 1.0 - oks3, LOCK_COST)
+    if use_reid:   # appearance helps re-acquire lost tracks
+        cost3 = blend_reid_cost(cost3, reid_cost, config.reid_weight)
     cost3 = _lock(cost3, row_assign, col_assign)
     row_assign, col_assign = _tier_assign(cost3, act, row_assign, col_assign)
 
@@ -239,6 +254,15 @@ def tracker_step(state: TrackerState, det: Detections,
     else:
         kf_mean, kf_cov = state.kf_mean, state.kf_cov
 
+    if use_reid:
+        from ..ops.reid import ema_update
+        det_emb_at = det_embeddings[det_idx]                   # [T,E]
+        embeddings = ema_update(state.embeddings, det_emb_at, matched,
+                                gamma=config.reid_ema)
+        embeddings = init_at(embeddings, det_embeddings)
+    else:
+        embeddings = state.embeddings
+
     # ---- Stage 9: duplicate suppression -----------------------------------
     # Centers come from gating time, as in the reference (stale for tracks
     # born this frame, which are excluded by the hits >= min_hits rule).
@@ -258,6 +282,7 @@ def tracker_step(state: TrackerState, det: Detections,
         states=states, hits=hits, ages=ages, last_frame=last_frame,
         active=active, next_id=next_id, frame=frame,
         det_track_slot=col_assign, kf_mean=kf_mean, kf_cov=kf_cov,
+        embeddings=embeddings,
     )
     aux = {
         "num_active_in": num_active_in,

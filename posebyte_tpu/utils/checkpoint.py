@@ -29,8 +29,14 @@ def save_tracker_state(state: TrackerState, path: str):
 def load_tracker_state(path: str) -> TrackerState:
     from safetensors.numpy import safe_open
     with safe_open(path, framework="numpy") as f:
-        arrays = {k: f.get_tensor(k) for k in f.keys()}
-    return TrackerState(**{k: jnp.asarray(v) for k, v in arrays.items()})
+        arrays = {k: jnp.asarray(f.get_tensor(k)) for k in f.keys()}
+    # forward compat: fields added later (e.g. Re-ID embeddings) default
+    # to their init values when absent from older checkpoints
+    if "embeddings" in {fld.name for fld in dataclasses.fields(TrackerState)} \
+            and "embeddings" not in arrays:
+        T = arrays["poses"].shape[0]
+        arrays["embeddings"] = jnp.zeros((T, 51), jnp.float32)
+    return TrackerState(**arrays)
 
 
 def save_kalman_state(state: KalmanState136, path: str):
