@@ -127,3 +127,21 @@ def test_profile_frame_phases_reports():
     assert "Timing breakdown" in rep
     assert t.preprocess_ms > 0 and t.detect_ms > 0 and t.track_ms > 0
     assert t.total_ms > 0
+
+
+def test_chunk_mode_kalman136_fallback():
+    """Chunked processing with the kalman136 motion model takes the
+    scan path (megakernel is cv-only) and still tracks correctly."""
+    cfg = PipelineConfig(
+        detector=DetectorConfig(input_size=192, num_anchors=756,
+                                max_candidates=32, max_detections=8),
+        tracker=TrackerConfig(max_tracks=16, max_detections=8,
+                              motion_model="kalman136"),
+        model_name="yolov8n-pose", precision="fp32")
+    pipe = PosePipeline(cfg)
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (4, 240, 320, 3), dtype=np.uint8)
+    outs = pipe.process_chunk(frames)
+    assert outs["emit"].shape == (4, 8)
+    assert int(pipe.state.frame) == 4
+    assert bool(jnp.isfinite(pipe.state.kf_mean).all())
