@@ -94,8 +94,8 @@ def main(argv=None):
     from ..core.config import (DetectorConfig, PipelineConfig,
                                TrackerConfig)
     from ..pipeline import PosePipeline
-    from ..utils.video import (VideoReader, VideoWriter, draw_all_tracks,
-                               draw_stats)
+    from ..utils.video import (PrefetchVideoReader, VideoWriter,
+                               draw_all_tracks, draw_stats)
 
     params, model_name = load_model_params(args.engine)
     print(f"Loading model: {model_name} "
@@ -127,7 +127,7 @@ def main(argv=None):
               f"(frame {int(pipe.state.frame)}, "
               f"next id {int(pipe.state.next_id)})")
 
-    video = VideoReader(args.input)
+    video = PrefetchVideoReader(args.input)   # decode overlaps dispatch
     print(f"Video info: {video.width}x{video.height} @ {video.fps:.1f} fps, "
           f"{video.frame_count} frames")
     writer = None

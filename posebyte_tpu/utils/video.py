@@ -59,6 +59,51 @@ class VideoReader:
         self.cap.release()
 
 
+class PrefetchVideoReader(VideoReader):
+    """VideoReader with a background decode thread + bounded queue.
+
+    cv2 releases the GIL during decode, so a single prefetch thread
+    overlaps video decoding with the TPU dispatch loop — the host-side
+    analogue of the reference's stream overlap (main.cpp's loop decodes
+    on the critical path; here decode of frame N+1 hides behind frame
+    N's tracking). Bounded queue applies backpressure; iteration order
+    and termination semantics are identical to VideoReader.
+    """
+
+    def __init__(self, path: str, depth: int = 8):
+        super().__init__(path)
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = False
+
+        def worker():
+            while True:
+                f = super(PrefetchVideoReader, self).read()
+                self._q.put(f)
+                if f is None:
+                    return
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def read(self):
+        if self._done:
+            return None
+        f = self._q.get()
+        if f is None:
+            self._done = True
+        return f
+
+    def release(self):
+        # drain so the worker can exit, then release the capture
+        while not self._done and self.read() is not None:
+            pass
+        self._thread.join(timeout=2.0)
+        super().release()
+
+
 class VideoWriter:
     """cv2.VideoWriter wrapper (reference: video_utils.cpp:259-278)."""
 

@@ -92,3 +92,26 @@ def test_evaluate_cli_smoke(tmp_path, capsys):
     for key in ("frames", "MOTA", "mAP", "AP50", "id_switches"):
         assert key in data
     assert data["frames"] == 5
+
+
+def test_prefetch_reader_matches_plain(tmp_path):
+    """PrefetchVideoReader yields the same frames in the same order as
+    VideoReader and terminates cleanly."""
+    import subprocess, sys, os
+    video = str(tmp_path / "p.mp4")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/make_test_video.py"),
+         "--out", video, "--frames", "12", "--size", "160x120"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    from posebyte_tpu.utils.video import PrefetchVideoReader, VideoReader
+    plain = [f.copy() for f in VideoReader(video)]
+    pre = PrefetchVideoReader(video, depth=3)
+    fetched = [f.copy() for f in pre]
+    pre.release()
+    assert len(fetched) == len(plain) == 12
+    for a, b in zip(plain, fetched):
+        np.testing.assert_array_equal(a, b)
