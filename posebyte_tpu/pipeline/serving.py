@@ -168,7 +168,11 @@ class StreamServer:
         return len(served)
 
     def poll(self, sid: int):
-        """Drain and return this stream's completed outputs."""
+        """Drain and return this stream's completed outputs. Allowed
+        on closed streams too (EOS leaves produced outputs pollable
+        until the slot is reopened)."""
+        if not (0 <= sid < self.num_streams):
+            raise KeyError(f"stream {sid} out of range")
         outs = list(self._out[sid])
         self._out[sid].clear()
         return outs

@@ -118,3 +118,15 @@ def test_pool_exhaustion(server):
         server.open_stream()
     for sid in sids:
         server.close_stream(sid)
+
+
+def test_outputs_pollable_after_close(server):
+    rng = np.random.default_rng(5)
+    sid = server.open_stream()
+    server.submit(sid, _frame(rng))
+    server.step()
+    server.close_stream(sid)
+    outs = server.poll(sid)          # EOS leaves outputs pollable
+    assert len(outs) == 1
+    with pytest.raises(KeyError):
+        server.poll(99)
