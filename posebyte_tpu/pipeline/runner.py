@@ -159,8 +159,7 @@ class PosePipeline:
             else:
                 embs = None
 
-            def track_one_reid(state, det_emb):
-                det, emb = det_emb
+            def track_one(state, det, emb=None):
                 state, aux = tracker_step(state, det, trk_cfg,
                                           det_embeddings=emb)
                 ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -171,17 +170,9 @@ class PosePipeline:
                 return state, out
 
             if embs is not None:
-                return jax.lax.scan(track_one_reid, state, (dets, embs))
-
-            def track_one(state, det):
-                state, aux = tracker_step(state, det, trk_cfg)
-                ids, scores, poses, boxes, emit = extract_outputs_device(
-                    state, det.scores, trk_cfg)
-                out = {"ids": ids, "scores": scores, "poses": poses,
-                       "boxes": boxes, "emit": emit,
-                       "num_active": aux["num_active"]}
-                return state, out
-
+                return jax.lax.scan(
+                    lambda s, de: track_one(s, de[0], de[1]),
+                    state, (dets, embs))
             return jax.lax.scan(track_one, state, dets)
 
         return chunk_step
