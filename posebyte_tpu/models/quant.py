@@ -145,11 +145,25 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
     """
     from . import layers as L
     from .yolo_pose import MODEL_CONFIGS, forward_raw
+    if jax.default_backend() != "cpu":
+        print("[quant] NOTE: activation calibration runs EAGERLY (the "
+              "recorder reads concrete values) — on remote/tunneled "
+              "accelerators per-op dispatch makes this very slow. "
+              "Calibrate on CPU (JAX_PLATFORMS=cpu + "
+              "jax.config.update('jax_platforms','cpu')) and hand the "
+              "scales over via --calib-cache.")
     recorder: dict = {}
     L._CALIBRATION_RECORDER = recorder
     try:
-        for i in range(images.shape[0]):
-            forward_raw(qparams, jnp.asarray(images[i:i + 1]),
+        # Batched passes: eager-mode op-dispatch overhead dominates
+        # calibration time, and it is independent of batch size — one
+        # batch-16 pass costs the same dispatches as one image. The
+        # recorded statistic becomes the 99.9th percentile over the
+        # batch (pooling images), which is equivalent calibration
+        # robustness to per-image percentiles.
+        B = 16
+        for start in range(0, images.shape[0], B):
+            forward_raw(qparams, jnp.asarray(images[start:start + B]),
                         MODEL_CONFIGS[name].family)
     finally:
         L._CALIBRATION_RECORDER = None
