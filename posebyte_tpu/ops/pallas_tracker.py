@@ -145,17 +145,19 @@ def _tracker_chunk_kernel(
         # initial state (read at k == 0 only)
         px0_ref, py0_ref, pc0_ref, vx0_ref, vy0_ref, sc0_ref,
         ids0_ref, st0_ref, hi0_ref, ag0_ref, lf0_ref, ac0_ref, cnt0_ref,
+        kf0_refs,
         # outputs: per-frame
         o_ids_ref, o_sc_ref, o_emit_ref, o_na_ref,
         o_px_ref, o_py_ref, o_pc_ref, o_box_ref,
         # outputs: persistent state (constant index map)
         px_ref, py_ref, pc_ref, vx_ref, vy_ref, sc_ref,
         ids_ref, st_ref, hi_ref, ag_ref, lf_ref, ac_ref, cnt_ref,
-        slot_ref,
+        slot_ref, kf_refs,
         *, cfg: TrackerConfig):
     k = pl.program_id(0)
     T = px_ref.shape[0]
     D = dx_ref.shape[1]
+    use_kf = cfg.motion_model == "kalman136"
 
     @pl.when(k == 0)
     def _init():
@@ -172,6 +174,8 @@ def _tracker_chunk_kernel(
         lf_ref[:] = lf0_ref[:]
         ac_ref[:] = ac0_ref[:]
         cnt_ref[:] = cnt0_ref[:]
+        for dst, src in zip(kf_refs, kf0_refs):
+            dst[:] = src[:]
 
     # ---- load state + det frame ------------------------------------------
     px, py, pc = px_ref[:], py_ref[:], pc_ref[:]          # [T,KPp] f32
@@ -200,13 +204,35 @@ def _tracker_chunk_kernel(
     rowT_TD = jax.lax.broadcasted_iota(jnp.int32, (T, D), 0)
     rowT_DT = jax.lax.broadcasted_iota(jnp.int32, (D, T), 1)
 
-    # ---- Stage 1: constant-velocity predict (ops/kalman.cv_predict) -------
+    # ---- Stage 1: motion predict ------------------------------------------
     actm = act  # [T,1], broadcasts over KPp lanes
-    pred_x = jnp.where(actm, px + vx, px)
-    pred_y = jnp.where(actm, py + vy, py)
-    lost = (states == C.TRACK_STATE_LOST) & act
-    vx = jnp.where(lost, vx * CV_LOST_DECAY, vx)
-    vy = jnp.where(lost, vy * CV_LOST_DECAY, vy)
+    if use_kf:
+        # third-order closed form (ops/kalman.Kalman136.predict)
+        (kmx, kmy, kvx, kvy, kax, kay, kjx, kjy,
+         kcpx, kcpy, kcvx, kcvy, kcax, kcay, kcjx, kcjy) = \
+            [r[:] for r in kf_refs]
+        kmx = kmx + kvx + 0.5 * kax + (1.0 / 6.0) * kjx
+        kmy = kmy + kvy + 0.5 * kay + (1.0 / 6.0) * kjy
+        kvx = kvx + kax + 0.5 * kjx
+        kvy = kvy + kay + 0.5 * kjy
+        kax = kax * cfg.accel_memory
+        kay = kay * cfg.accel_memory
+        kjx = kjx * cfg.jerk_memory
+        kjy = kjy * cfg.jerk_memory
+        kcpx, kcpy = kcpx + 1.0, kcpy + 1.0
+        kcvx, kcvy = kcvx + 0.25, kcvy + 0.25
+        kcax, kcay = kcax + 0.01, kcay + 0.01
+        kcjx, kcjy = kcjx + 0.0025, kcjy + 0.0025
+        pred_x = jnp.where(actm, kmx, px)
+        pred_y = jnp.where(actm, kmy, py)
+        vx, vy = kvx, kvy          # gating speed from KF velocities
+    else:
+        # constant-velocity (ops/kalman.cv_predict)
+        pred_x = jnp.where(actm, px + vx, px)
+        pred_y = jnp.where(actm, py + vy, py)
+        lost = (states == C.TRACK_STATE_LOST) & act
+        vx = jnp.where(lost, vx * CV_LOST_DECAY, vx)
+        vy = jnp.where(lost, vy * CV_LOST_DECAY, vy)
 
     # ---- Stage 2: centers + spatial gate ----------------------------------
     tcx, tcy, tw, th = _centers_cols(pred_x, pred_y, pc)   # [T,1]
@@ -307,18 +333,37 @@ def _tracker_chunk_kernel(
     det_sc_at = jnp.sum(jnp.where(onehot > 0, dscore, 0.0),
                         axis=1, keepdims=True)             # [T,1]
 
-    gain = CV_MEASUREMENT_NOISE / (CV_MEASUREMENT_NOISE
-                                   + CV_PROCESS_NOISE)
-    innov_x = det_x_at - px
-    innov_y = det_y_at - py
-    px = jnp.where(matched, px + gain * innov_x, px)
-    py = jnp.where(matched, py + gain * innov_y, py)
-    vx = jnp.where(matched,
-                   CV_VELOCITY_ALPHA * innov_x
-                   + (1.0 - CV_VELOCITY_ALPHA) * vx, vx)
-    vy = jnp.where(matched,
-                   CV_VELOCITY_ALPHA * innov_y
-                   + (1.0 - CV_VELOCITY_ALPHA) * vy, vy)
+    if use_kf:
+        # per-keypoint scalar-gain update (Kalman136.update):
+        # R = 5/(conf+0.1), skip kp below conf 0.1, K_v = 0.5*K_x
+        use = (det_c_at >= 0.1) & matched
+        Rk = 5.0 / (det_c_at + 0.1)
+        Kx = kcpx / (kcpx + Rk)
+        Ky = kcpy / (kcpy + Rk)
+        ix = det_x_at - kmx
+        iy = det_y_at - kmy
+        kmx = kmx + jnp.where(use, Kx * ix, 0.0)
+        kmy = kmy + jnp.where(use, Ky * iy, 0.0)
+        kvx = kvx + jnp.where(use, 0.5 * Kx * ix, 0.0)
+        kvy = kvy + jnp.where(use, 0.5 * Kx * iy, 0.0)
+        kcpx = jnp.where(use, (1.0 - Kx) * kcpx, kcpx)
+        kcpy = jnp.where(use, (1.0 - Ky) * kcpy, kcpy)
+        px = jnp.where(matched, kmx, px)
+        py = jnp.where(matched, kmy, py)
+        vx, vy = kvx, kvy
+    else:
+        gain = CV_MEASUREMENT_NOISE / (CV_MEASUREMENT_NOISE
+                                       + CV_PROCESS_NOISE)
+        innov_x = det_x_at - px
+        innov_y = det_y_at - py
+        px = jnp.where(matched, px + gain * innov_x, px)
+        py = jnp.where(matched, py + gain * innov_y, py)
+        vx = jnp.where(matched,
+                       CV_VELOCITY_ALPHA * innov_x
+                       + (1.0 - CV_VELOCITY_ALPHA) * vx, vx)
+        vy = jnp.where(matched,
+                       CV_VELOCITY_ALPHA * innov_y
+                       + (1.0 - CV_VELOCITY_ALPHA) * vy, vy)
     pc = jnp.where(matched, det_c_at, pc)
     scores = jnp.where(matched, det_sc_at, scores)
     hits = jnp.where(matched, hits + 1, hits)
@@ -384,6 +429,28 @@ def _tracker_chunk_kernel(
                            keepdims=True)                  # [1,D]
     col_assign = jnp.where(can_alloc, slot_for_det, col_assign)
     next_id = next_id + jnp.sum(can_alloc.astype(jnp.int32))
+
+    if use_kf:
+        # Kalman136.initiate for allocated slots: mean <- detection,
+        # derivatives 0, pos var 10 (1000 when conf <= 0), others 100.
+        # px/pc already hold the allocated detections' x/conf here.
+        kmx = jnp.where(alloc, px, kmx)
+        kmy = jnp.where(alloc, py, kmy)
+        kvx = jnp.where(alloc, 0.0, kvx)
+        kvy = jnp.where(alloc, 0.0, kvy)
+        kax = jnp.where(alloc, 0.0, kax)
+        kay = jnp.where(alloc, 0.0, kay)
+        kjx = jnp.where(alloc, 0.0, kjx)
+        kjy = jnp.where(alloc, 0.0, kjy)
+        pos_var = jnp.where(pc > 0.0, 10.0, 1000.0)
+        kcpx = jnp.where(alloc, pos_var, kcpx)
+        kcpy = jnp.where(alloc, pos_var, kcpy)
+        kcvx = jnp.where(alloc, 100.0, kcvx)
+        kcvy = jnp.where(alloc, 100.0, kcvy)
+        kcax = jnp.where(alloc, 100.0, kcax)
+        kcay = jnp.where(alloc, 100.0, kcay)
+        kcjx = jnp.where(alloc, 100.0, kcjx)
+        kcjy = jnp.where(alloc, 100.0, kcjy)
 
     # ---- Stage 9: duplicate suppression -----------------------------------
     eligible = active & (states != C.TRACK_STATE_LOST) & \
@@ -481,6 +548,12 @@ def _tracker_chunk_kernel(
     cnt_ref[:] = (jnp.where(lane8 == 0, next_id, 0)
                   + jnp.where(lane8 == 1, frame, 0))
     slot_ref[:] = col_assign
+    if use_kf:
+        for ref, val in zip(kf_refs,
+                            (kmx, kmy, kvx, kvy, kax, kay, kjx, kjy,
+                             kcpx, kcpy, kcvx, kcvy, kcax, kcay,
+                             kcjx, kcjy)):
+            ref[:] = val
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
@@ -494,10 +567,10 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     outs matches the chunk pipeline's per-frame dict (leading K):
     ids, scores, poses, boxes, emit, num_active.
     """
-    assert config.motion_model == "cv", \
-        "kalman136 uses the scan path (PosePipeline falls back)"
+    assert config.motion_model in ("cv", "kalman136")
     assert config.reid_weight == 0.0, \
         "Re-ID association uses the scan path (PosePipeline falls back)"
+    use_kf = config.motion_model == "kalman136"
     Kc, D = dets.scores.shape
     T = state.poses.shape[0]
 
@@ -532,6 +605,13 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     cnt0 = (jnp.where(lane8 == 0, state.next_id.astype(jnp.int32), 0)
             + jnp.where(lane8 == 1, state.frame.astype(jnp.int32), 0))
 
+    # 136-D Kalman state as 16 keypoint planes (mean + cov diag, 8
+    # components each in _split order px,py,vx,vy,ax,ay,jx,jy)
+    kf_mean8 = state.kf_mean.astype(jnp.float32).reshape(T, KP, 8)
+    kf_cov8 = state.kf_cov.astype(jnp.float32).reshape(T, KP, 8)
+    kf0 = tuple(pad_kp2(kf_mean8[..., i]) for i in range(8)) + \
+        tuple(pad_kp2(kf_cov8[..., i]) for i in range(8))
+
     per_frame = lambda *dims: pl.BlockSpec((1,) + dims,
                                            lambda k: (k, 0, 0))
     whole2 = lambda a, b: pl.BlockSpec((a, b), lambda k: (0, 0))
@@ -560,7 +640,10 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         jax.ShapeDtypeStruct((T, 1), jnp.int32),         # ac
         jax.ShapeDtypeStruct((1, 8), jnp.int32),         # cnt
         jax.ShapeDtypeStruct((1, D), jnp.int32),         # slot
+        tuple(jax.ShapeDtypeStruct((T, KPP), jnp.float32)
+              for _ in range(16)),                       # kf planes
     )
+    kf_spec = tuple(whole2(T, KPP) for _ in range(16))
     in_specs = [
         per_frame(D, KPP), per_frame(D, KPP), per_frame(D, KPP),
         per_frame(KPP, D), per_frame(KPP, D), per_frame(KPP, D),
@@ -569,6 +652,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         whole2(T, KPP), whole2(T, KPP), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(T, 1), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(1, 8),
+        kf_spec,
     ]
     out_specs = (
         per_frame(1, D), per_frame(1, D), per_frame(1, D),
@@ -579,6 +663,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         whole2(T, KPP), whole2(T, KPP), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(T, 1), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(1, 8), whole2(1, D),
+        kf_spec,
     )
     outs = pl.pallas_call(
         kernel,
@@ -588,10 +673,19 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         out_specs=out_specs,
         interpret=interpret,
     )(dx, dy, dc, dxT, dyT, dcT, dscore, dvalid,
-      px0, py0, pc0, vx0, vy0, sc0, ids0, st0, hi0, ag0, lf0, ac0, cnt0)
+      px0, py0, pc0, vx0, vy0, sc0, ids0, st0, hi0, ag0, lf0, ac0, cnt0,
+      kf0)
 
     (o_ids, o_sc, o_emit, o_na, o_px, o_py, o_pc, o_box,
-     px, py, pc, vx, vy, sc, ids, st, hi, ag, lf, ac, cnt, slot) = outs
+     px, py, pc, vx, vy, sc, ids, st, hi, ag, lf, ac, cnt, slot,
+     kf_out) = outs
+    if use_kf:
+        kf_mean_out = jnp.stack([kf_out[i][:, :KP] for i in range(8)],
+                                axis=-1).reshape(T, KP * 8)
+        kf_cov_out = jnp.stack([kf_out[8 + i][:, :KP] for i in range(8)],
+                               axis=-1).reshape(T, KP * 8)
+    else:
+        kf_mean_out, kf_cov_out = state.kf_mean, state.kf_cov
 
     poses_out = jnp.stack([o_px[..., :KP], o_py[..., :KP],
                            o_pc[..., :KP]], axis=-1)       # [K,D,17,3]
@@ -603,7 +697,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         last_frame=lf[:, 0], active=ac[:, 0] > 0,
         next_id=cnt[0, 0], frame=cnt[0, 1],
         det_track_slot=slot[0],
-        kf_mean=state.kf_mean, kf_cov=state.kf_cov,
+        kf_mean=kf_mean_out, kf_cov=kf_cov_out,
         embeddings=state.embeddings,
     )
     outs_dict = {

@@ -166,7 +166,6 @@ class MultiStreamChunkPipeline:
             # makes everything device-local; elsewhere / kalman136 the
             # lax.scan path.
             if (jax.default_backend() == "tpu"
-                    and trk_cfg.motion_model == "cv"
                     and trk_cfg.reid_weight == 0.0):
                 from ..ops.pallas_tracker import tracker_chunk_pallas
                 state, outs = tracker_chunk_pallas(state, dets, trk_cfg)

@@ -146,9 +146,9 @@ class PosePipeline:
             # TPU: the whole K-frame tracker recurrence as ONE fused
             # Pallas kernel with the state VMEM-resident across frames
             # (ops/pallas_tracker.py — removes the ~100-op/frame scan
-            # overhead). Elsewhere / kalman136 / Re-ID: the scan path.
+            # overhead); handles both motion models. Elsewhere / Re-ID:
+            # the lax.scan path.
             if (jax.default_backend() == "tpu"
-                    and trk_cfg.motion_model == "cv"
                     and trk_cfg.reid_weight == 0.0):
                 from ..ops.pallas_tracker import tracker_chunk_pallas
                 return tracker_chunk_pallas(state, dets, trk_cfg)

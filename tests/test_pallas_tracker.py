@@ -198,3 +198,40 @@ def test_chunk_kernel_slot_exhaustion():
     dets = _stack_dets([poses_to_detections(gt, 16)
                         for gt in scene.frames(4)])
     _compare(TrackerState.init(8, 16), dets, cfg, "exhaustion")
+
+
+def test_chunk_kernel_kalman136():
+    """kalman136 motion model in the fused kernel matches the scan path
+    (third-order predict, per-kp scalar-gain update, initiate), incl.
+    the kf_mean/kf_cov state round trip."""
+    cfg = TrackerConfig(max_tracks=128, max_detections=64,
+                        motion_model="kalman136")
+    scene = SyntheticScene(5, 1280, 720, seed=8)
+    rng = np.random.default_rng(3)
+    det_list = []
+    for gt in scene.frames(8):
+        keep = rng.random(len(gt)) > 0.25
+        subset = gt[keep] if keep.any() else gt[:1]
+        det_list.append(poses_to_detections(subset, 64))
+    dets = _stack_dets(det_list)
+    state0 = TrackerState.init(128, 64)
+
+    ref_state, ref_out = jax.jit(
+        lambda s, d: _scan_reference(s, d, cfg))(state0, dets)
+    got_state, got_out = tracker_chunk_pallas(
+        TrackerState.init(128, 64), dets, cfg, interpret=True)
+
+    ref_out, got_out = jax.device_get((ref_out, got_out))
+    np.testing.assert_array_equal(ref_out["emit"], got_out["emit"])
+    np.testing.assert_array_equal(ref_out["ids"], got_out["ids"])
+    np.testing.assert_allclose(ref_out["poses"], got_out["poses"],
+                               atol=1e-2)
+    ref_state, got_state = jax.device_get((ref_state, got_state))
+    np.testing.assert_array_equal(ref_state.ids, got_state.ids)
+    np.testing.assert_array_equal(ref_state.active, got_state.active)
+    np.testing.assert_allclose(ref_state.kf_mean, got_state.kf_mean,
+                               atol=1e-2)
+    np.testing.assert_allclose(ref_state.kf_cov, got_state.kf_cov,
+                               atol=1e-3)
+    np.testing.assert_allclose(ref_state.poses, got_state.poses,
+                               atol=1e-2)
