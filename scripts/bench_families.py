@@ -31,6 +31,8 @@ def main():
     p.add_argument("-m", "--models", default="s,m")
     p.add_argument("-k", "--chunk", type=int, default=128)
     p.add_argument("--n-chunks", type=int, default=8)
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "int8"])
     args = p.parse_args()
 
     import jax
@@ -49,8 +51,18 @@ def main():
         name = f"yolov8{size}-pose" if len(size) == 1 else size
         config = PipelineConfig(
             detector=DetectorConfig(input_size=640, num_anchors=8400),
-            tracker=TrackerConfig(), model_name=name, precision="bf16")
+            tracker=TrackerConfig(), model_name=name,
+            precision=args.precision)
         pipe = PosePipeline(config)
+        if args.precision == "int8":
+            # fixed act_scales: perf-identical to calibrated ones
+            from posebyte_tpu.models.quant import (conv_paths,
+                                                   quantize_params)
+            q = quantize_params(pipe.params)
+            for node in conv_paths(q).values():
+                if "scale" in node:
+                    node["act_scale"] = jnp.asarray(0.05, jnp.float32)
+            pipe.params = q
         bases = jnp.stack([pipe.stage_chunk(
             rng.integers(0, 255, (K, H, W, 3), dtype=np.uint8))
             for _ in range(2)])
