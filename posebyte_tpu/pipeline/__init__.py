@@ -3,12 +3,13 @@ from .runner import PosePipeline, detect_fn
 
 
 def __getattr__(name):
-    # StreamServer pulls in parallel/sharding (mesh machinery); keep the
-    # base pipeline import light by loading it on first touch.
-    if name == "StreamServer":
-        from .serving import StreamServer
-        return StreamServer
+    # Serving classes pull in parallel/sharding (mesh machinery); keep
+    # the base pipeline import light by loading them on first touch.
+    if name in ("StreamServer", "ChunkedStreamServer"):
+        from . import serving
+        return getattr(serving, name)
     raise AttributeError(name)
 
 
-__all__ = ["PosePipeline", "detect_fn", "StreamServer"]
+__all__ = ["PosePipeline", "detect_fn", "StreamServer",
+           "ChunkedStreamServer"]

@@ -51,6 +51,53 @@ def _gated_stream_step(params, state, frame_u8, advance, reset,
     return state, out
 
 
+def _gated_stream_chunk(params, state, frames_flat, advance, reset,
+                        h, w, config: PipelineConfig, heads_fn):
+    """One stream slot's K-frame chunk with lifecycle gating: detection
+    batches over all K frames (MXU-friendly, outside the scan); the
+    tracker recurrence scans with a per-frame advance mask, so a slot
+    holding fewer than K queued frames simply skips the padded tail.
+    frames_flat [K, H*W*3], advance [K] bool, reset scalar bool."""
+    from ..ops.decode import decode_topk
+    from ..ops.nms import pose_nms
+    from ..ops.preprocess import letterbox_flat_nhwc
+    from ..tracker.output import extract_outputs_device
+    from ..tracker.step import tracker_step
+
+    det_cfg = config.detector
+    trk_cfg = config.tracker
+    fresh = TrackerState.init(trk_cfg.max_tracks, trk_cfg.max_detections)
+    state = jax.tree.map(lambda i, s: jnp.where(reset, i, s), fresh, state)
+
+    imgs = jax.vmap(
+        lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+    )(frames_flat)                                   # [K, S, S, 3]
+    box, cls, kpt = heads_fn(params, imgs)
+
+    def decode_one(b, c, k):
+        det = decode_topk(b, c, k, det_cfg.conf_threshold,
+                          det_cfg.max_candidates, det_cfg.input_size)
+        return pose_nms(det, det_cfg.iou_threshold,
+                        det_cfg.oks_threshold, det_cfg.max_detections,
+                        presorted=True)
+
+    dets = jax.vmap(decode_one)(box, cls, kpt)
+
+    def track_one(state, det_adv):
+        det, adv = det_adv
+        new_state, aux = tracker_step(state, det, trk_cfg)
+        state = jax.tree.map(lambda n, o: jnp.where(adv, n, o),
+                             new_state, state)
+        ids, scores, poses, boxes, emit = extract_outputs_device(
+            state, det.scores, trk_cfg)
+        out = {"ids": ids, "scores": scores, "poses": poses,
+               "boxes": boxes, "emit": emit & adv,
+               "num_active": jnp.where(adv, aux["num_active"], 0)}
+        return state, out
+
+    return jax.lax.scan(track_one, state, (dets, advance))
+
+
 class StreamServer:
     """Dynamic multi-video serving over a fixed slot pool.
 
@@ -180,3 +227,70 @@ class StreamServer:
     def _check(self, sid: int):
         if not (0 <= sid < self.num_streams) or not self._open[sid]:
             raise KeyError(f"stream {sid} is not open")
+
+
+class ChunkedStreamServer(StreamServer):
+    """StreamServer with K-frame chunked dispatch: each step consumes
+    up to `chunk` queued frames PER stream (detection batched over
+    streams x frames on the MXU, tracker recurrence scanned per stream
+    with per-frame advance gating). The throughput-oriented serving
+    mode — same open/close/submit/poll lifecycle; streams with fewer
+    than `chunk` queued frames just advance by what they have."""
+
+    def __init__(self, num_streams: int, frame_shape: tuple[int, int],
+                 chunk: int = 8,
+                 config: PipelineConfig = PipelineConfig(),
+                 mesh: Optional[Mesh] = None, params=None, seed: int = 0,
+                 dtype=jnp.bfloat16, heads_fn=None):
+        super().__init__(num_streams, frame_shape, config=config,
+                         mesh=mesh, params=params, seed=seed,
+                         dtype=dtype, heads_fn=heads_fn)
+        self.chunk = chunk
+        stream = NamedSharding(self.mesh, P("stream"))
+        replicated = NamedSharding(self.mesh, P())
+        vchunk = jax.vmap(
+            functools.partial(_gated_stream_chunk, h=self.frame_h,
+                              w=self.frame_w, config=config,
+                              heads_fn=self.heads_fn),
+            in_axes=(None, 0, 0, 0, 0))
+        self._chunk_step = jax.jit(
+            vchunk,
+            in_shardings=(replicated, stream, stream, stream, stream),
+            out_shardings=(stream, stream),
+            donate_argnums=(1,),
+        )
+
+    def step(self) -> int:
+        """One chunked dispatch: consumes up to `chunk` frames per open
+        stream. Returns total frames consumed (0 = no dispatch)."""
+        S, K = self.num_streams, self.chunk
+        hw3 = self.frame_h * self.frame_w * 3
+        frames = np.zeros((S, K, hw3), np.uint8)
+        advance = np.zeros((S, K), bool)
+        served = 0
+        for sid in range(S):
+            if not self._open[sid]:
+                continue
+            for k in range(K):
+                if not self._in[sid]:
+                    break
+                frames[sid, k] = self._in[sid].popleft().reshape(-1)
+                advance[sid, k] = True
+                served += 1
+        if served == 0:
+            return 0
+        reset = self._pending_reset.copy()
+        self._pending_reset[:] = False
+
+        frames_dev = jax.device_put(jnp.asarray(frames),
+                                    self._frame_sharding)
+        self.states, out = self._chunk_step(
+            self.params, self.states, frames_dev, jnp.asarray(advance),
+            jnp.asarray(reset))
+        host = jax.device_get(out)
+        for sid in range(S):
+            for k in range(K):
+                if advance[sid, k]:
+                    self._out[sid].append(
+                        {key: v[sid, k] for key, v in host.items()})
+        return served

@@ -130,3 +130,57 @@ def test_outputs_pollable_after_close(server):
     assert len(outs) == 1
     with pytest.raises(KeyError):
         server.poll(99)
+
+
+def test_chunked_server_matches_per_frame():
+    """ChunkedStreamServer produces the same per-stream output sequence
+    as the per-frame StreamServer (same frames, same order), including
+    partial chunks and starvation."""
+    from posebyte_tpu.pipeline.serving import ChunkedStreamServer
+
+    rng = np.random.default_rng(7)
+    frames_a = [_frame(rng) for _ in range(5)]
+    frames_b = [_frame(rng) for _ in range(3)]
+
+    def run(server_cls, **kw):
+        srv = server_cls(num_streams=8, frame_shape=(H, W),
+                         config=CONFIG, mesh=make_mesh(8),
+                         dtype=jax.numpy.float32, **kw)
+        a = srv.open_stream()
+        b = srv.open_stream()
+        for f in frames_a:
+            srv.submit(a, f)
+        for f in frames_b:
+            srv.submit(b, f)
+        while srv.step():
+            pass
+        return srv.poll(a), srv.poll(b)
+
+    pa, pb = run(StreamServer)
+    ca, cb = run(ChunkedStreamServer, chunk=4)   # 5 = chunk + partial
+    assert len(pa) == len(ca) == 5
+    assert len(pb) == len(cb) == 3
+    for ref, got in ((pa, ca), (pb, cb)):
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r["emit"], g["emit"])
+            np.testing.assert_array_equal(r["ids"], g["ids"])
+            np.testing.assert_allclose(r["poses"], g["poses"], atol=1e-4)
+
+
+def test_chunked_server_lifecycle():
+    from posebyte_tpu.pipeline.serving import ChunkedStreamServer
+    rng = np.random.default_rng(9)
+    srv = ChunkedStreamServer(num_streams=8, frame_shape=(H, W),
+                              chunk=3, config=CONFIG, mesh=make_mesh(8),
+                              dtype=jax.numpy.float32)
+    sid = srv.open_stream()
+    for _ in range(7):
+        srv.submit(sid, _frame(rng))
+    assert srv.step() == 3
+    assert srv.step() == 3
+    assert srv.step() == 1          # partial tail
+    assert srv.step() == 0
+    assert len(srv.poll(sid)) == 7
+    frame_ctr = int(np.asarray(srv.states.frame)[sid])
+    assert frame_ctr == 7           # starved tail frames did not age
+    srv.close_stream(sid)
