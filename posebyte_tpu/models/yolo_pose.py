@@ -260,7 +260,8 @@ def _dfl(box_logits: jnp.ndarray) -> jnp.ndarray:
     expectation; one fused VPU pass instead of the 1x1-conv trick)."""
     prob = jax.nn.softmax(box_logits.astype(jnp.float32), axis=-1)
     bins = jnp.arange(REG_MAX, dtype=jnp.float32)
-    return jnp.einsum("bafr,r->baf", prob, bins)
+    return jnp.einsum("bafr,r->baf", prob, bins,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def forward_heads(params, x, family: str = "v8"):

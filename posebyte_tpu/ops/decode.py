@@ -95,7 +95,8 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
     bl = box_logits[top_idx].astype(jnp.float32)          # [K, 64]
     prob = jax.nn.softmax(bl.reshape(k, 4, REG_MAX), axis=-1)
     d = jnp.einsum("kfr,r->kf", prob,
-                   jnp.arange(REG_MAX, dtype=jnp.float32))
+                   jnp.arange(REG_MAX, dtype=jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     lt, rb = d[:, :2], d[:, 2:]
     x1y1 = (anchors - lt) * strides[:, None]
     x2y2 = (anchors + rb) * strides[:, None]

@@ -144,9 +144,12 @@ def pose_nms(det: Detections, iou_threshold: float = 0.55,
 
     def compact(src):
         flat = src.reshape(N, -1).astype(jnp.float32)
+        # Precision.HIGHEST: keeps the one-hot selection exact on TPU
+        # (default f32 matmul precision is bf16 passes)
         out = jax.lax.dot_general(
             sel_f, flat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         return out.reshape((max_keep,) + src.shape[1:]).astype(src.dtype)
 
     num_kept = jnp.sum(keep_ranked.astype(jnp.int32))

@@ -134,8 +134,12 @@ def _masked_area_rows(xT, yT, confT, thresh=0.1):
 
 
 def _dotf(a, b):
+    # Precision.HIGHEST: TPU f32 matmuls otherwise run as bf16 passes,
+    # which would round the one-hot selections (~0.1 px pose error on
+    # hardware — caught by the on-device scan-vs-kernel comparison).
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _tracker_chunk_kernel(
