@@ -73,15 +73,22 @@ def _interp_matrices(input_width: int, input_height: int, target: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
-                                    "bgr_to_rgb"))
+                                    "bgr_to_rgb", "out_dtype"))
 def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
                         input_height: int,
                         target: int = C.DEFAULT_INPUT_SIZE,
-                        bgr_to_rgb: bool = True) -> jnp.ndarray:
-    """Flat uint8 [H*W*3] frame -> float32 [target, target, 3] HWC.
+                        bgr_to_rgb: bool = True,
+                        out_dtype=jnp.float32) -> jnp.ndarray:
+    """Flat uint8 [H*W*3] frame -> [target, target, 3] HWC float.
 
     The production path: flat-byte H2D, two MXU matmuls, and the output
     already in the model's NHWC layout (no extra transpose pass).
+
+    out_dtype: interpolation always runs in f32; a bf16 out_dtype
+    rounds only the FINAL pixel values — exactly the rounding the bf16
+    model's own input cast would apply — while halving the materialized
+    [target, target, 3] intermediate (pipeline callers pass the model
+    compute dtype).
     """
     Wy_np, Wx_np, mask_np = _interp_matrices(input_width, input_height,
                                              target)
@@ -99,7 +106,8 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
                      preferred_element_type=jnp.float32)
     if bgr_to_rgb:
         out = out[..., ::-1]
-    return jnp.where(mask[..., None], out, C.LETTERBOX_PAD_VALUE)
+    out = jnp.where(mask[..., None], out, C.LETTERBOX_PAD_VALUE)
+    return out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,

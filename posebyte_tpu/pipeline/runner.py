@@ -69,6 +69,7 @@ class PosePipeline:
         if dtype is None:
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
+        self.dtype = dtype
         if heads_fn is not None:
             self.apply_fn = None
             self.heads_fn = heads_fn
@@ -89,10 +90,17 @@ class PosePipeline:
         trk_cfg = self.config.tracker
         heads_fn = self.heads_fn
 
+        # bf16 letterbox output halves the materialized image buffer;
+        # identical model inputs (the model casts to bf16 anyway). The
+        # Re-ID descriptor samples the image, so it keeps f32.
+        lb_dtype = self.dtype if trk_cfg.reid_weight == 0.0 \
+            else jnp.float32
+
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, state, frame_flat_u8):
             img = letterbox_flat_nhwc(frame_flat_u8, w, h,
-                                      det_cfg.input_size)
+                                      det_cfg.input_size,
+                                      out_dtype=lb_dtype)
             det = detect_fn(params, img, det_cfg, heads_fn)
             emb = None
             if trk_cfg.reid_weight > 0.0:
@@ -126,10 +134,17 @@ class PosePipeline:
         trk_cfg = self.config.tracker
         heads_fn = self.heads_fn
 
+        lb_dtype = self.dtype if trk_cfg.reid_weight == 0.0 \
+            else jnp.float32
+
         def chunk_step(params, state, frames_flat_u8):
-            # [K, H*W*3] -> [K, S, S, 3] letterboxed batch (NHWC direct)
+            # [K, H*W*3] -> [K, S, S, 3] letterboxed batch (NHWC direct;
+            # bf16 output halves the materialized buffer, same model
+            # inputs — see letterbox_flat_nhwc)
             imgs = jax.vmap(
-                lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+                lambda f: letterbox_flat_nhwc(f, w, h,
+                                              det_cfg.input_size,
+                                              out_dtype=lb_dtype)
             )(frames_flat_u8)                          # [K, S, S, 3]
             box, cls, kpt = heads_fn(params, imgs)
 
