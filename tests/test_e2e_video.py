@@ -115,3 +115,30 @@ def test_prefetch_reader_matches_plain(tmp_path):
     assert len(fetched) == len(plain) == 12
     for a, b in zip(plain, fetched):
         np.testing.assert_array_equal(a, b)
+
+
+def test_evaluate_cli_chunked_matches_per_frame(tmp_path, capsys):
+    """--chunk evaluation produces the same metrics as per-frame."""
+    import subprocess, sys, os, json
+    video = str(tmp_path / "vc.mp4")
+    gt = str(tmp_path / "gtc.npz")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/make_test_video.py"),
+         "--out", video, "--frames", "6", "--size", "320x240",
+         "--persons", "2", "--gt", gt],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr
+
+    from posebyte_tpu.cli.evaluate import main as eval_main
+    results = []
+    for extra in ([], ["--chunk", "4"]):     # 6 frames = chunk 4 + tail 2
+        rc = eval_main(["-e", "yolov8n-pose", "-i", video, "-g", gt,
+                        "--size", "192", "--json"] + extra)
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        results.append(json.loads(line))
+    assert results[0]["frames"] == results[1]["frames"] == 6
+    for key in ("MOTA", "mAP", "misses", "false_positives"):
+        assert results[0][key] == results[1][key], key
