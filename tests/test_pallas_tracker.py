@@ -235,3 +235,35 @@ def test_chunk_kernel_kalman136():
                                atol=1e-3)
     np.testing.assert_allclose(ref_state.poses, got_state.poses,
                                atol=1e-2)
+
+
+def test_chunk_kernel_all_empty_from_fresh_state():
+    """A chunk of entirely empty frames from a fresh state: no tracks,
+    no id movement, state stays pristine (degenerate-input guard)."""
+    empty = _stack_dets([Detections.empty(64) for _ in range(6)])
+    state, outs = tracker_chunk_pallas(TrackerState.init(128, 64),
+                                       empty, CFG, interpret=True)
+    outs, state = jax.device_get((outs, state))
+    assert not outs["emit"].any()
+    assert (outs["num_active"] == 0).all()
+    assert int(state.next_id) == 1
+    assert not state.active.any()
+    assert int(state.frame) == 6
+
+
+def test_chunk_kernel_dedup_stress():
+    """Many heavily-overlapping figures force the dedup stage to drop
+    duplicates — still exactly equal to the scan path."""
+    base = SyntheticScene(1, 640, 480, seed=30,
+                          scale_range=(100.0, 120.0)).step()[0]
+    rng = np.random.default_rng(5)
+    det_list = []
+    for f in range(6):
+        # 10 near-identical copies, tiny jitter: dedup-heavy frames
+        poses = np.stack([base + rng.normal(0, 1.5, base.shape)
+                          .astype(np.float32) for _ in range(10)])
+        poses[:, :, 2] = 1.0
+        det_list.append(poses_to_detections(
+            poses, 64, score=0.5 + 0.5 * rng.random()))
+    _compare(TrackerState.init(128, 64), _stack_dets(det_list), CFG,
+             "dedup-stress")
