@@ -117,3 +117,44 @@ def test_pipeline_runs_with_reid():
     outs = pipe.process_chunk(frames)
     assert outs["emit"].shape == (3, 8)
     assert bool(jnp.isfinite(pipe.state.embeddings).all())
+
+
+def test_reid_lost_recovery_prefers_matching_appearance():
+    """A lost track reappearing among two geometrically-equivalent
+    candidates re-acquires via the appearance term in the lost tier."""
+    cfg = TrackerConfig(max_tracks=8, max_detections=4, min_hits=1,
+                        max_age=1, reid_weight=0.4)
+    state = TrackerState.init(8, 4)
+
+    ea = np.zeros(REID_DIM, np.float32); ea[0::3] = 1.0
+    eb = np.zeros(REID_DIM, np.float32); eb[2::3] = 1.0
+    ea /= np.linalg.norm(ea); eb /= np.linalg.norm(eb)
+    zero2 = np.zeros((2, REID_DIM), np.float32)
+
+    # establish a confirmed "red" track
+    pose = _pose_at(200, 200)
+    for _ in range(3):
+        det = poses_to_detections(np.stack([pose]), 4)
+        emb = jnp.asarray(np.concatenate([ea[None], np.zeros((3, REID_DIM),
+                                                             np.float32)]))
+        state, _ = tracker_step(state, det, cfg, det_embeddings=emb)
+    tid = int(np.asarray(state.ids)[0])
+    assert int(np.asarray(state.states)[0]) == 1      # confirmed
+
+    # occlusion: miss until the track goes LOST
+    from posebyte_tpu.core.structs import Detections
+    empty = Detections.empty(4)
+    none = jnp.asarray(np.zeros((4, REID_DIM), np.float32))
+    for _ in range(3):
+        state, _ = tracker_step(state, empty, cfg, det_embeddings=none)
+    assert int(np.asarray(state.states)[0]) == 2      # lost
+
+    # reappearance: two candidates at the SAME predicted location, one
+    # red one blue — the lost tier must pick the red one for the old id
+    det = poses_to_detections(np.stack([pose, pose]), 4)
+    emb = jnp.asarray(np.concatenate([np.stack([eb, ea]), zero2]))
+    state, _ = tracker_step(state, det, cfg, det_embeddings=emb)
+    slot = np.asarray(state.det_track_slot)
+    assert slot[1] == 0, slot          # red detection -> old track slot
+    assert int(np.asarray(state.ids)[0]) == tid
+    assert int(np.asarray(state.states)[0]) == 1      # reactivated
