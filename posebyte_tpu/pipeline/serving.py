@@ -17,6 +17,10 @@ device mesh exactly as in parallel/sharding.py), while stream dynamics
 So idle slots burn compute (lockstep is the price of one executable)
 but never corrupt state, and per-stream EOS / reopen never recompiles
 or reshapes anything — the pool geometry is static for XLA.
+
+Note: the Re-ID appearance term (config.reid_weight) is not yet wired
+into the serving steps — serving associates geometrically regardless
+of the config value (PosePipeline honors it; see docs/ROADMAP.md).
 """
 from __future__ import annotations
 
