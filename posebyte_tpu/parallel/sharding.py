@@ -51,7 +51,12 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
                       det_cfg.max_candidates, det_cfg.input_size)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                    det_cfg.max_detections, presorted=True)
-    state, aux = tracker_step(state, det, config.tracker)
+    emb = None
+    if config.tracker.reid_weight > 0.0:
+        from ..ops.reid import pose_color_embedding
+        emb = pose_color_embedding(img, det.poses)
+    state, aux = tracker_step(state, det, config.tracker,
+                              det_embeddings=emb)
     ids, scores, poses, boxes, emit = extract_outputs_device(
         state, det.scores, config.tracker)
     out = {"ids": ids, "scores": scores, "poses": poses, "boxes": boxes,
@@ -172,13 +177,23 @@ class MultiStreamChunkPipeline:
                 return state, {"emit": outs["emit"],
                                "num_active": outs["num_active"]}
 
-            def track_one(st, det):
-                st, aux = tracker_step(st, det, trk_cfg)
+            if trk_cfg.reid_weight > 0.0:
+                from ..ops.reid import pose_color_embedding
+                embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
+            else:
+                embs = jnp.zeros((frames_flat.shape[0], 1))
+
+            def track_one(st, det_emb):
+                det, emb = det_emb
+                st, aux = tracker_step(
+                    st, det, trk_cfg,
+                    det_embeddings=emb if trk_cfg.reid_weight > 0.0
+                    else None)
                 _, _, _, _, emit = extract_outputs_device(
                     st, det.scores, trk_cfg)
                 return st, {"emit": emit, "num_active": aux["num_active"]}
 
-            return jax.lax.scan(track_one, state, dets)
+            return jax.lax.scan(track_one, state, (dets, embs))
 
         self._steps = {}
         self._per_stream = per_stream

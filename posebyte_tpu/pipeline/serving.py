@@ -18,9 +18,10 @@ So idle slots burn compute (lockstep is the price of one executable)
 but never corrupt state, and per-stream EOS / reopen never recompiles
 or reshapes anything — the pool geometry is static for XLA.
 
-Note: the Re-ID appearance term (config.reid_weight) is not yet wired
-into the serving steps — serving associates geometrically regardless
-of the config value (PosePipeline honors it; see docs/ROADMAP.md).
+The Re-ID appearance term (config.reid_weight > 0) is honored in every
+serving mode: the per-frame gated step and the chunked step both
+compute the pose-aligned color descriptor and blend it into
+association (ops/reid.py), exactly as PosePipeline does.
 """
 from __future__ import annotations
 
@@ -86,10 +87,17 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
                         presorted=True)
 
     dets = jax.vmap(decode_one)(box, cls, kpt)
+    if trk_cfg.reid_weight > 0.0:
+        from ..ops.reid import pose_color_embedding
+        embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
+    else:
+        embs = jnp.zeros((frames_flat.shape[0], 1))   # scan placeholder
 
     def track_one(state, det_adv):
-        det, adv = det_adv
-        new_state, aux = tracker_step(state, det, trk_cfg)
+        det, adv, emb = det_adv
+        new_state, aux = tracker_step(
+            state, det, trk_cfg,
+            det_embeddings=emb if trk_cfg.reid_weight > 0.0 else None)
         state = jax.tree.map(lambda n, o: jnp.where(adv, n, o),
                              new_state, state)
         ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -99,7 +107,7 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
                "num_active": jnp.where(adv, aux["num_active"], 0)}
         return state, out
 
-    return jax.lax.scan(track_one, state, (dets, advance))
+    return jax.lax.scan(track_one, state, (dets, advance, embs))
 
 
 class StreamServer:

@@ -184,3 +184,27 @@ def test_chunked_server_lifecycle():
     frame_ctr = int(np.asarray(srv.states.frame)[sid])
     assert frame_ctr == 7           # starved tail frames did not age
     srv.close_stream(sid)
+
+
+def test_serving_with_reid_enabled():
+    """Both serving modes run with the appearance term enabled and
+    maintain finite per-slot embeddings."""
+    from posebyte_tpu.pipeline.serving import ChunkedStreamServer
+    cfg = PipelineConfig(
+        detector=CONFIG.detector,
+        tracker=TrackerConfig(max_tracks=8, max_detections=4,
+                              min_hits=1, reid_weight=0.3))
+    rng = np.random.default_rng(11)
+    for server_cls, kw in ((StreamServer, {}),
+                           (ChunkedStreamServer, {"chunk": 2})):
+        srv = server_cls(num_streams=8, frame_shape=(H, W), config=cfg,
+                         mesh=make_mesh(8), dtype=jax.numpy.float32,
+                         **kw)
+        sid = srv.open_stream()
+        for _ in range(2):
+            srv.submit(sid, _frame(rng))
+        while srv.step():
+            pass
+        assert len(srv.poll(sid)) == 2
+        assert bool(np.isfinite(np.asarray(srv.states.embeddings)).all())
+        srv.close_stream(sid)
