@@ -92,3 +92,36 @@ def test_int8_engine_through_pipeline():
     out = pipe.process_frame(frame, block=True)
     assert out["emit"].shape == (8,)
     assert bool(jnp.isfinite(out["poses"]).all())
+
+
+def test_tracker_invariants_random_stream_with_reid():
+    """Same invariants with the appearance term active (random unit
+    embeddings): the Re-ID blend must never break 1-1 assignment,
+    lifecycle bounds, or id uniqueness, and track embeddings stay
+    finite and (for matched tracks) unit-norm."""
+    cfg = TrackerConfig(max_tracks=12, max_detections=6,
+                        reid_weight=0.35)
+    rng = np.random.default_rng(77)
+    state = TrackerState.init(cfg.max_tracks, cfg.max_detections)
+    E = state.embeddings.shape[1]
+    for frame in range(1, 21):
+        det = _random_detections(rng, cfg.max_detections)
+        emb = rng.normal(size=(cfg.max_detections, E)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        state, aux = tracker_step(state, det, cfg,
+                                  det_embeddings=jnp.asarray(emb))
+        active = np.asarray(state.active)
+        ids = np.asarray(state.ids)[active]
+        slot = np.asarray(state.det_track_slot)
+
+        assert len(np.unique(ids)) == len(ids)
+        assert (ids >= 1).all()
+        linked = slot[slot >= 0]
+        assert np.asarray(state.active)[linked].all()
+        assert len(np.unique(linked)) == len(linked)
+        te = np.asarray(state.embeddings)
+        assert np.isfinite(te).all()
+        norms = np.linalg.norm(te[active], axis=1)
+        # every active track was seeded from a unit detection embedding
+        assert ((norms < 1e-6) | (np.abs(norms - 1.0) < 1e-3)).all()
+        assert int(state.frame) == frame
