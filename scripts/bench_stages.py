@@ -132,10 +132,26 @@ def main():
         return (time.perf_counter() - t0) * 1e3 / args.iters / K
 
     rows["tracker_scan"] = timeit_threaded(track_threaded, dets)
+
+    # production tracker: the fused VMEM chunk kernel, state threaded
+    from posebyte_tpu.ops.pallas_tracker import tracker_chunk_pallas
+    kst = [TrackerState.init(trk_cfg.max_tracks, trk_cfg.max_detections)]
+    kfn = jax.jit(lambda s, d: tracker_chunk_pallas(s, d, trk_cfg))
+
+    def kernel_threaded(d):
+        new_state, outs = kfn(kst[0], d)
+        kst[0] = new_state
+        return outs["num_active"]
+
+    rows["tracker_kernel"] = timeit_threaded(kernel_threaded, dets)
+
     rows["fused_step"] = timeit_threaded(
         lambda f: pipe.process_chunk_device(f, H, W)["emit"], flat)
 
-    total_slices = sum(v for k, v in rows.items() if k != "fused_step")
+    # sum uses the production tracker (kernel); the scan row is the
+    # diagnostic comparison and would double-count
+    total_slices = sum(v for k, v in rows.items()
+                       if k not in ("fused_step", "tracker_scan"))
     print(f"{'slice':15s} ms/frame   share-of-fused")
     for k, v in rows.items():
         share = v / rows["fused_step"] if k != "fused_step" else 1.0
