@@ -152,6 +152,56 @@ def conv_block_s2d(params, x):
     return silu(conv2d_s2d(params, x))
 
 
+def packed_stem(p0, p1, x, pack: int):
+    """EXACT frame-packed stem: the first two stride-2 Conv+SiLU layers
+    computed for `pack` frames at once via block-diagonal weights.
+
+    yolov8/11's stem has 3->16->32 channels against the MXU's 128
+    lanes, idling 75-98% of the array. Packing P frames' channels
+    side-by-side (batch B -> B/P, channels C -> P*C) with
+    block-diagonal kernels (w_packed[:, :, b*ci:(b+1)*ci,
+    b*co:(b+1)*co] = w) raises lane occupancy to P*co without mixing
+    frames: an output block's channels read only its own frame's input
+    block, every cross-block weight is an exact zero, so per-output
+    arithmetic is identical to the per-frame conv (fp32-exact; bf16
+    differs only in accumulation-tree rounding).
+
+    x [B, S, S, 3] with B % pack == 0 -> [B, S/4, S/4, c1] — identical
+    to conv_block(p1, conv_block(p0, x, 2), 2). Only valid for plain
+    float stems (the int8 partial-quant policy keeps b0/b1 float, so
+    this holds for every precision mode).
+    """
+    B, S, _, C = x.shape
+    P = pack
+    assert B % P == 0, (B, P)
+    c0 = p0["w"].shape[-1]
+    c1 = p1["w"].shape[-1]
+
+    def blockdiag(w):
+        k, _, ci, co = w.shape
+        wb = jnp.zeros((k, k, ci * P, co * P), w.dtype)
+        for b in range(P):
+            wb = wb.at[:, :, b * ci:(b + 1) * ci,
+                       b * co:(b + 1) * co].set(w)
+        return wb
+
+    conv_kw = dict(window_strides=(2, 2), padding=((1, 1), (1, 1)),
+                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    xp = x.reshape(B // P, P, S, S, C).transpose(0, 2, 3, 1, 4) \
+        .reshape(B // P, S, S, P * C)
+    a = lax.conv_general_dilated(
+        xp, blockdiag(p0["w"]).astype(x.dtype),
+        preferred_element_type=x.dtype, **conv_kw)
+    a = silu(a + jnp.tile(p0["b"], P).astype(x.dtype))
+    b = lax.conv_general_dilated(
+        a, blockdiag(p1["w"]).astype(x.dtype),
+        preferred_element_type=x.dtype, **conv_kw)
+    b = silu(b + jnp.tile(p1["b"], P).astype(x.dtype))
+    S4 = S // 4
+    return b.reshape(B // P, S4, S4, P, c1).transpose(0, 3, 1, 2, 4) \
+        .reshape(B, S4, S4, c1)
+
+
 def conv_block(params, x, stride: int = 1, groups: int = 1):
     """Conv + (folded) BN + SiLU — ultralytics `Conv`."""
     return silu(conv2d(params, x, stride, groups))

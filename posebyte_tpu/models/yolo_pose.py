@@ -173,9 +173,10 @@ def init_params(key, name: str = "yolov8n-pose"):
 # verified bit-identical in tests/test_models.py) but measured ~7%
 # SLOWER than the plain stride-2 convs on v5e — current XLA already
 # optimizes the low-channel stem. Kept as an op for future compilers.
-def _backbone_neck_v8(p, x):
-    x = L.conv_block(p["b0"], x, 2)
-    x = L.conv_block(p["b1"], x, 2)
+def _backbone_neck_v8(p, x, stem_done: bool = False):
+    if not stem_done:
+        x = L.conv_block(p["b0"], x, 2)
+        x = L.conv_block(p["b1"], x, 2)
     x = L.c2f(p["b2"], x)
     x = L.conv_block(p["b3"], x, 2)
     p3 = L.c2f(p["b4"], x)
@@ -196,9 +197,10 @@ def _backbone_neck_v8(p, x):
     return o3, o4, o5
 
 
-def _backbone_neck_v11(p, x):
-    x = L.conv_block(p["b0"], x, 2)
-    x = L.conv_block(p["b1"], x, 2)
+def _backbone_neck_v11(p, x, stem_done: bool = False):
+    if not stem_done:
+        x = L.conv_block(p["b0"], x, 2)
+        x = L.conv_block(p["b1"], x, 2)
     x = L.c3k2(p["b2"], x)
     x = L.conv_block(p["b3"], x, 2)
     p3 = L.c3k2(p["b4"], x)
@@ -264,7 +266,8 @@ def _dfl(box_logits: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def forward_heads(params, x, family: str = "v8"):
+def forward_heads(params, x, family: str = "v8",
+                  packed_stem: int = 0):
     """Input [B, S, S, 3] NHWC -> undecoded head outputs
     (box_logits [B, A, 64], cls_logits [B, A, 1], kpt_raw [B, A, 51]).
 
@@ -272,10 +275,16 @@ def forward_heads(params, x, family: str = "v8"):
     sigmoid(cls_logits) and decodes DFL/keypoints only for those
     (ops/decode.py::decode_topk) — a ~30x reduction of decode-tail work
     versus decoding all A anchors."""
+    stem_done = False
+    if packed_stem > 1 and x.shape[0] % packed_stem == 0:
+        # frame-packed stem: full MXU lane occupancy on the thin first
+        # two convs (layers.packed_stem; exact per-frame math)
+        x = L.packed_stem(params["b0"], params["b1"], x, packed_stem)
+        stem_done = True
     if family == "v8":
-        feats = _backbone_neck_v8(params, x)
+        feats = _backbone_neck_v8(params, x, stem_done)
     else:
-        feats = _backbone_neck_v11(params, x)
+        feats = _backbone_neck_v11(params, x, stem_done)
 
     head = params["head"]
     boxes, clss, kpts = [], [], []
@@ -327,14 +336,20 @@ def forward_raw(params, x, family: str = "v8"):
     return decode_dense(box, cls, kpt, x.shape[1])
 
 
-def build_model_heads(name: str = "yolov8n-pose", dtype=jnp.float32):
+def build_model_heads(name: str = "yolov8n-pose", dtype=jnp.float32,
+                      packed_stem: int = 0):
     """Returns (heads_fn, init_fn): heads_fn(params, images_nhwc) ->
     (box_logits, cls_logits, kpt_raw) — the hot path feeding
-    ops.decode.decode_topk (sparse decode)."""
+    ops.decode.decode_topk (sparse decode).
+
+    packed_stem=P > 1 runs the first two convs frame-packed
+    (layers.packed_stem: full MXU lane occupancy, exact per-frame math)
+    whenever the batch divides P; falls back silently otherwise."""
     cfg = MODEL_CONFIGS[name]
 
     def heads_fn(params, x):
-        return forward_heads(params, x.astype(dtype), cfg.family)
+        return forward_heads(params, x.astype(dtype), cfg.family,
+                             packed_stem=packed_stem)
 
     def init_fn(key):
         return init_params(key, name)

@@ -65,3 +65,28 @@ def test_every_model_forward(name):
     out = jax.jit(apply_fn)(params, x)
     assert out.shape == (1, 56, 84)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_packed_stem_matches_plain():
+    """Frame-packed stem (block-diagonal weights over 8 frames) is
+    numerically equivalent to the per-frame stem, end to end through
+    the heads, for both families."""
+    import jax
+    from posebyte_tpu.models.yolo_pose import build_model_heads
+
+    for name in ("yolov8n-pose", "yolo11n-pose"):
+        plain, init_fn = build_model_heads(name, jnp.float32)
+        packed, _ = build_model_heads(name, jnp.float32, packed_stem=4)
+        params = init_fn(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 64, 64, 3))
+        a = jax.jit(plain)(params, x)
+        b = jax.jit(packed)(params, x)
+        for ref, got in zip(a, b):
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       atol=2e-5, err_msg=name)
+        # non-divisible batch falls back to the plain path
+        x5 = x[:5]
+        c = jax.jit(packed)(params, x5)
+        for ref, got in zip(jax.jit(plain)(params, x5), c):
+            np.testing.assert_array_equal(np.asarray(ref),
+                                          np.asarray(got))
