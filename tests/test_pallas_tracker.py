@@ -267,3 +267,14 @@ def test_chunk_kernel_dedup_stress():
             poses, 64, score=0.5 + 0.5 * rng.random()))
     _compare(TrackerState.init(128, 64), _stack_dets(det_list), CFG,
              "dedup-stress")
+
+
+def test_chunk_kernel_large_detection_pool():
+    """D = 128 detections (twice the default) with a big crowd —
+    [T, D] = [128, 128] tiles exercise full-lane shapes."""
+    cfg = TrackerConfig(max_tracks=128, max_detections=128)
+    scene = SyntheticScene(50, 3840, 2160, seed=21,
+                           scale_range=(50.0, 80.0))
+    dets = _stack_dets([poses_to_detections(gt, 128)
+                        for gt in scene.frames(4)])
+    _compare(TrackerState.init(128, 128), dets, cfg, "large-D")
