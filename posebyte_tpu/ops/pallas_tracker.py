@@ -29,8 +29,12 @@ Design notes (Mosaic constraints shape the formulations):
     from strictly-lower-triangular masked sums over [T,T] / [D,D]
     iota grids.
 
-Semantics are identical to tracker/step.py with motion_model="cv"
-(the kalman136 option falls back to the scan path); equivalence is
+Semantics are identical to tracker/step.py for BOTH motion models —
+"cv" and "kalman136" (the 136-D filter runs in-kernel as 16 extra
+[T,KPp] VMEM planes) — including the optional Re-ID appearance blend
+(config.reid_weight > 0: three [T,KPp] embedding channel planes,
+co-visible cosine cost fused into the keypoint loop, EMA update) and
+per-frame advance gating for the serving lifecycle. Equivalence is
 asserted interpret-mode in tests/test_pallas_tracker.py and the same
 comparison runs on real TPU hardware via the benchmark harness.
 """
@@ -145,23 +149,24 @@ def _dotf(a, b):
 def _tracker_chunk_kernel(
         # per-frame det blocks
         dx_ref, dy_ref, dc_ref, dxT_ref, dyT_ref, dcT_ref,
-        dscore_ref, dvalid_ref,
+        dscore_ref, dvalid_ref, adv_ref, demb_refs,
         # initial state (read at k == 0 only)
         px0_ref, py0_ref, pc0_ref, vx0_ref, vy0_ref, sc0_ref,
         ids0_ref, st0_ref, hi0_ref, ag0_ref, lf0_ref, ac0_ref, cnt0_ref,
-        kf0_refs,
+        slot0_ref, kf0_refs, emb0_refs,
         # outputs: per-frame
         o_ids_ref, o_sc_ref, o_emit_ref, o_na_ref,
         o_px_ref, o_py_ref, o_pc_ref, o_box_ref,
         # outputs: persistent state (constant index map)
         px_ref, py_ref, pc_ref, vx_ref, vy_ref, sc_ref,
         ids_ref, st_ref, hi_ref, ag_ref, lf_ref, ac_ref, cnt_ref,
-        slot_ref, kf_refs,
+        slot_ref, kf_refs, emb_refs,
         *, cfg: TrackerConfig):
     k = pl.program_id(0)
     T = px_ref.shape[0]
     D = dx_ref.shape[1]
     use_kf = cfg.motion_model == "kalman136"
+    use_reid = cfg.reid_weight > 0.0
 
     @pl.when(k == 0)
     def _init():
@@ -178,7 +183,10 @@ def _tracker_chunk_kernel(
         lf_ref[:] = lf0_ref[:]
         ac_ref[:] = ac0_ref[:]
         cnt_ref[:] = cnt0_ref[:]
+        slot_ref[:] = slot0_ref[:]
         for dst, src in zip(kf_refs, kf0_refs):
+            dst[:] = src[:]
+        for dst, src in zip(emb_refs, emb0_refs):
             dst[:] = src[:]
 
     # ---- load state + det frame ------------------------------------------
@@ -199,6 +207,25 @@ def _tracker_chunk_kernel(
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     next_id = jnp.sum(jnp.where(lane8 == 0, counters, 0))  # scalar i32
     frame = jnp.sum(jnp.where(lane8 == 1, counters, 0)) + 1
+
+    # per-frame lifecycle advance flag (serving starvation gating):
+    # 0 -> this frame's entire update is discarded (state writes keep the
+    # previous frame's values, outputs are masked). Scalar selects don't
+    # lower on Mosaic, so broadcast it into each needed geometry.
+    adv_i = jnp.sum(jnp.where(lane8 == 0, adv_ref[0], 0))  # scalar 0/1
+    advT = (jnp.zeros((T, 1), jnp.int32) + adv_i) > 0      # [T,1]
+    advD = (jnp.zeros((D, 1), jnp.int32) + adv_i) > 0      # [D,1]
+    adv1D = (jnp.zeros((1, D), jnp.int32) + adv_i) > 0     # [1,D]
+    adv18 = (jnp.zeros((1, 8), jnp.int32) + adv_i) > 0     # [1,8]
+
+    if use_reid:
+        er, eg, eb = emb_refs[0][:], emb_refs[1][:], emb_refs[2][:]
+        der, deg, deb = demb_refs[0][0], demb_refs[1][0], demb_refs[2][0]
+        derT, degT, debT = (demb_refs[3][0], demb_refs[4][0],
+                            demb_refs[5][0])               # [KPp,D]
+        # per-keypoint color energies (visibility: zero block = occluded)
+        te = er * er + eg * eg + eb * eb                   # [T,KPp]
+        deT = derT * derT + degT * degT + debT * debT      # [KPp,D]
 
     eyeT = (jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (T, T), 1))
@@ -276,6 +303,11 @@ def _tracker_chunk_kernel(
     torso_sum = jnp.zeros((T, D), jnp.float32)
     torso_cnt = jnp.zeros((T, D), jnp.int32)
     torso_set = set(C.TORSO_KEYPOINTS.tolist())
+    if use_reid:
+        # co-visible cosine accumulators (ops/reid.cosine_cost_matrix)
+        rnum = jnp.zeros((T, D), jnp.float32)
+        rtn = jnp.zeros((T, D), jnp.float32)
+        rdn = jnp.zeros((T, D), jnp.float32)
     for kp in range(KP):
         d2 = ((pred_x[:, kp:kp + 1] - dxT[kp:kp + 1, :]) ** 2
               + (pred_y[:, kp:kp + 1] - dyT[kp:kp + 1, :]) ** 2)  # [T,D]
@@ -295,6 +327,16 @@ def _tracker_chunk_kernel(
             vist = (tck > 0.1) & (dck > 0.1)
             torso_sum += jnp.where(vist, et, 0.0)
             torso_cnt += vist.astype(jnp.int32)
+        if use_reid:
+            te_col = te[:, kp:kp + 1]                      # [T,1]
+            de_row = deT[kp:kp + 1, :]                     # [1,D]
+            visr = (te_col > 1e-12) & (de_row > 1e-12)     # [T,D]
+            dot = (er[:, kp:kp + 1] * derT[kp:kp + 1, :]
+                   + eg[:, kp:kp + 1] * degT[kp:kp + 1, :]
+                   + eb[:, kp:kp + 1] * debT[kp:kp + 1, :])
+            rnum += jnp.where(visr, dot, 0.0)
+            rtn += jnp.where(visr, te_col, 0.0)
+            rdn += jnp.where(visr, de_row, 0.0)
     oks1 = jnp.where(oks1_cnt >= 3,
                      oks1_sum / jnp.maximum(oks1_cnt, 1), 0.0)
     oks5 = jnp.where(oks5_cnt >= 3,
@@ -308,7 +350,15 @@ def _tracker_chunk_kernel(
     non_lost = act & (states != C.TRACK_STATE_LOST)
     gate1 = gate & non_lost
 
-    cost1 = jnp.where(gate1, 1.0 - oks1, LOCK)
+    if use_reid:
+        # 1 - cosine over co-visible keypoints; neutral 1.0 when none
+        cosd = rnum / jnp.maximum(jnp.sqrt(rtn) * jnp.sqrt(rdn), 1e-6)
+        reid_cost = jnp.where(rtn > 0.0, 1.0 - cosd, 1.0)
+        w = float(cfg.reid_weight)
+        cost1 = jnp.where(gate1,
+                          (1.0 - w) * (1.0 - oks1) + w * reid_cost, LOCK)
+    else:
+        cost1 = jnp.where(gate1, 1.0 - oks1, LOCK)
     row_assign, col_assign = auction_rounds(cost1, act_i32, num_iters)
     # row_assign [T,1], col_assign [1,D]
 
@@ -321,7 +371,11 @@ def _tracker_chunk_kernel(
 
     only_lost = act & (states == C.TRACK_STATE_LOST)
     locked = (row_assign >= 0) | (col_assign >= 0)
-    cost3 = jnp.where(lost_gate & only_lost, 1.0 - oks5, LOCK)
+    if use_reid:   # appearance helps re-acquire lost tracks
+        cost3 = jnp.where(lost_gate & only_lost,
+                          (1.0 - w) * (1.0 - oks5) + w * reid_cost, LOCK)
+    else:
+        cost3 = jnp.where(lost_gate & only_lost, 1.0 - oks5, LOCK)
     cost3 = jnp.where(locked, LOCK, cost3)
     r3, c3 = auction_rounds(cost3, act_i32, num_iters)
     row_assign = jnp.where(row_assign >= 0, row_assign, r3)
@@ -379,6 +433,23 @@ def _tracker_chunk_kernel(
     states = jnp.where(promote | reactivate, C.TRACK_STATE_CONFIRMED,
                        states)
 
+    if use_reid:
+        # EMA toward the matched detection's embedding, renormalized
+        # over all 51 components (ops/reid.ema_update)
+        der_at = _dotf(onehot, der)                        # [T,KPp]
+        deg_at = _dotf(onehot, deg)
+        deb_at = _dotf(onehot, deb)
+        g = float(cfg.reid_ema)
+        upd_r = g * er + (1.0 - g) * der_at
+        upd_g = g * eg + (1.0 - g) * deg_at
+        upd_b = g * eb + (1.0 - g) * deb_at
+        n2 = jnp.sum(upd_r * upd_r + upd_g * upd_g + upd_b * upd_b,
+                     axis=1, keepdims=True)                # [T,1]
+        nrm = jnp.maximum(jnp.sqrt(n2), 1e-6)
+        er = jnp.where(matched, upd_r / nrm, er)
+        eg = jnp.where(matched, upd_g / nrm, eg)
+        eb = jnp.where(matched, upd_b / nrm, eb)
+
     # ---- Stage 7: age unmatched -------------------------------------------
     unmatched = (~matched) & act
     ages = jnp.where(unmatched, ages + 1, ages)
@@ -433,6 +504,13 @@ def _tracker_chunk_kernel(
                            keepdims=True)                  # [1,D]
     col_assign = jnp.where(can_alloc, slot_for_det, col_assign)
     next_id = next_id + jnp.sum(can_alloc.astype(jnp.int32))
+
+    if use_reid:
+        # newly allocated tracks take the detection embedding outright
+        # (tracker/step.py init_at scatter)
+        er = jnp.where(alloc, _dotf(Af, der), er)
+        eg = jnp.where(alloc, _dotf(Af, deg), eg)
+        eb = jnp.where(alloc, _dotf(Af, deb), eb)
 
     if use_kf:
         # Kalman136.initiate for allocated slots: mean <- detection,
@@ -524,45 +602,52 @@ def _tracker_chunk_kernel(
          jnp.where(anyb, bx2 + padx, z), jnp.where(anyb, by2 + pady, z)],
         axis=1)                                            # [D,4]
 
-    # ---- write frame outputs ---------------------------------------------
-    o_ids_ref[0] = _to_row_i(o_ids, eyeD)
-    o_sc_ref[0] = _to_row_f(o_sc, eyeD)
-    o_emit_ref[0] = _to_row_i(emit.astype(jnp.int32), eyeD)
+    # ---- write frame outputs (masked when not advancing) ------------------
+    o_ids_ref[0] = _to_row_i(jnp.where(advD, o_ids, -1), eyeD)
+    o_sc_ref[0] = _to_row_f(jnp.where(advD, o_sc, 0.0), eyeD)
+    o_emit_ref[0] = _to_row_i((emit & advD).astype(jnp.int32), eyeD)
     num_active = jnp.sum(active.astype(jnp.int32))
-    o_na_ref[0] = jnp.where(lane8 == 0, num_active, 0)
+    o_na_ref[0] = jnp.where(lane8 == 0, num_active * adv_i, 0)
     o_px_ref[0] = out_x
     o_py_ref[0] = out_y
     o_pc_ref[0] = out_c
     o_box_ref[0] = jnp.concatenate(
         [box, jnp.zeros((D, 4), jnp.float32)], axis=1)     # [D,8]
 
-    # ---- persist state ----------------------------------------------------
-    px_ref[:] = px
-    py_ref[:] = py
-    pc_ref[:] = pc
-    vx_ref[:] = vx
-    vy_ref[:] = vy
-    sc_ref[:] = scores
-    ids_ref[:] = ids
-    st_ref[:] = states
-    hi_ref[:] = hits
-    ag_ref[:] = ages
-    lf_ref[:] = last_frame
-    ac_ref[:] = active.astype(jnp.int32)
-    cnt_ref[:] = (jnp.where(lane8 == 0, next_id, 0)
-                  + jnp.where(lane8 == 1, frame, 0))
-    slot_ref[:] = col_assign
+    # ---- persist state (kept at the previous frame's values when not
+    # advancing: refs still hold the old state until written) --------------
+    px_ref[:] = jnp.where(advT, px, px_ref[:])
+    py_ref[:] = jnp.where(advT, py, py_ref[:])
+    pc_ref[:] = jnp.where(advT, pc, pc_ref[:])
+    vx_ref[:] = jnp.where(advT, vx, vx_ref[:])
+    vy_ref[:] = jnp.where(advT, vy, vy_ref[:])
+    sc_ref[:] = jnp.where(advT, scores, sc_ref[:])
+    ids_ref[:] = jnp.where(advT, ids, ids_ref[:])
+    st_ref[:] = jnp.where(advT, states, st_ref[:])
+    hi_ref[:] = jnp.where(advT, hits, hi_ref[:])
+    ag_ref[:] = jnp.where(advT, ages, ag_ref[:])
+    lf_ref[:] = jnp.where(advT, last_frame, lf_ref[:])
+    ac_ref[:] = jnp.where(advT, active.astype(jnp.int32), ac_ref[:])
+    cnt_ref[:] = jnp.where(adv18,
+                           jnp.where(lane8 == 0, next_id, 0)
+                           + jnp.where(lane8 == 1, frame, 0),
+                           cnt_ref[:])
+    slot_ref[:] = jnp.where(adv1D, col_assign, slot_ref[:])
     if use_kf:
         for ref, val in zip(kf_refs,
                             (kmx, kmy, kvx, kvy, kax, kay, kjx, kjy,
                              kcpx, kcpy, kcvx, kcvy, kcax, kcay,
                              kcjx, kcjy)):
-            ref[:] = val
+            ref[:] = jnp.where(advT, val, ref[:])
+    if use_reid:
+        for ref, val in zip(emb_refs, (er, eg, eb)):
+            ref[:] = jnp.where(advT, val, ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def tracker_chunk_pallas(state: TrackerState, dets: Detections,
                          config: TrackerConfig = TrackerConfig(),
+                         det_embeddings=None, advance=None,
                          interpret: bool = False):
     """Run K tracker frames as one fused kernel.
 
@@ -570,10 +655,20 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     [K,D,4], scores [K,D], valid [K,D]. Returns (state', outs) where
     outs matches the chunk pipeline's per-frame dict (leading K):
     ids, scores, poses, boxes, emit, num_active.
+
+    det_embeddings: [K,D,51] appearance descriptors (required iff
+    config.reid_weight > 0 — the cosine blend + EMA run in-kernel as
+    three [T,KPp] channel planes).
+    advance: optional [K] bool lifecycle mask (serving starvation
+    gating): frames with advance=False leave the state untouched and
+    emit nothing. None = advance every frame. Per-chunk resets are the
+    caller's job (blend a fresh TrackerState BEFORE calling, as
+    pipeline/serving.py does).
     """
     assert config.motion_model in ("cv", "kalman136")
-    assert config.reid_weight == 0.0, \
-        "Re-ID association uses the scan path (PosePipeline falls back)"
+    use_reid = config.reid_weight > 0.0
+    assert (det_embeddings is not None) == use_reid, \
+        "det_embeddings must be passed iff config.reid_weight > 0"
     use_kf = config.motion_model == "kalman136"
     Kc, D = dets.scores.shape
     T = state.poses.shape[0]
@@ -590,6 +685,24 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     dcT = jnp.transpose(dc, (0, 2, 1))
     dscore = dets.scores.astype(jnp.float32)[:, None, :]   # [K,1,D]
     dvalid = dets.valid.astype(jnp.int32)[:, None, :]
+
+    if advance is None:
+        adv_in = jnp.ones((Kc, 1, 8), jnp.int32)
+    else:
+        adv_in = jnp.broadcast_to(
+            advance.astype(jnp.int32)[:, None, None], (Kc, 1, 8))
+
+    if use_reid:
+        e3 = det_embeddings.astype(jnp.float32).reshape(Kc, D, KP, 3)
+        der = jnp.pad(e3[..., 0], ((0, 0), (0, 0), (0, KPP - KP)))
+        deg = jnp.pad(e3[..., 1], ((0, 0), (0, 0), (0, KPP - KP)))
+        deb = jnp.pad(e3[..., 2], ((0, 0), (0, 0), (0, KPP - KP)))
+        demb = (der, deg, deb,
+                jnp.transpose(der, (0, 2, 1)),
+                jnp.transpose(deg, (0, 2, 1)),
+                jnp.transpose(deb, (0, 2, 1)))
+    else:
+        demb = ()
 
     def pad_kp2(a):                     # [T,17] -> [T,KPP]
         return jnp.pad(a.astype(jnp.float32), ((0, 0), (0, KPP - KP)))
@@ -616,11 +729,19 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     kf0 = tuple(pad_kp2(kf_mean8[..., i]) for i in range(8)) + \
         tuple(pad_kp2(kf_cov8[..., i]) for i in range(8))
 
+    slot0 = state.det_track_slot.astype(jnp.int32)[None, :]   # [1,D]
+    if use_reid:
+        se3 = state.embeddings.astype(jnp.float32).reshape(T, KP, 3)
+        emb0 = tuple(pad_kp2(se3[..., c]) for c in range(3))
+    else:
+        emb0 = ()
+
     per_frame = lambda *dims: pl.BlockSpec((1,) + dims,
                                            lambda k: (k, 0, 0))
     whole2 = lambda a, b: pl.BlockSpec((a, b), lambda k: (0, 0))
 
     kernel = functools.partial(_tracker_chunk_kernel, cfg=config)
+    n_emb = 3 if use_reid else 0
     out_shape = (
         jax.ShapeDtypeStruct((Kc, 1, D), jnp.int32),     # o_ids
         jax.ShapeDtypeStruct((Kc, 1, D), jnp.float32),   # o_sc
@@ -646,17 +767,22 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         jax.ShapeDtypeStruct((1, D), jnp.int32),         # slot
         tuple(jax.ShapeDtypeStruct((T, KPP), jnp.float32)
               for _ in range(16)),                       # kf planes
+        tuple(jax.ShapeDtypeStruct((T, KPP), jnp.float32)
+              for _ in range(n_emb)),                    # emb planes
     )
     kf_spec = tuple(whole2(T, KPP) for _ in range(16))
+    demb_spec = tuple(per_frame(D, KPP) for _ in range(n_emb)) + \
+        tuple(per_frame(KPP, D) for _ in range(n_emb))
+    emb_spec = tuple(whole2(T, KPP) for _ in range(n_emb))
     in_specs = [
         per_frame(D, KPP), per_frame(D, KPP), per_frame(D, KPP),
         per_frame(KPP, D), per_frame(KPP, D), per_frame(KPP, D),
-        per_frame(1, D), per_frame(1, D),
+        per_frame(1, D), per_frame(1, D), per_frame(1, 8), demb_spec,
         whole2(T, KPP), whole2(T, KPP), whole2(T, KPP),
         whole2(T, KPP), whole2(T, KPP), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(T, 1), whole2(T, 1),
-        whole2(T, 1), whole2(T, 1), whole2(1, 8),
-        kf_spec,
+        whole2(T, 1), whole2(T, 1), whole2(1, 8), whole2(1, D),
+        kf_spec, emb_spec,
     ]
     out_specs = (
         per_frame(1, D), per_frame(1, D), per_frame(1, D),
@@ -667,7 +793,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         whole2(T, KPP), whole2(T, KPP), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(T, 1), whole2(T, 1),
         whole2(T, 1), whole2(T, 1), whole2(1, 8), whole2(1, D),
-        kf_spec,
+        kf_spec, emb_spec,
     )
     outs = pl.pallas_call(
         kernel,
@@ -676,13 +802,13 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
-    )(dx, dy, dc, dxT, dyT, dcT, dscore, dvalid,
+    )(dx, dy, dc, dxT, dyT, dcT, dscore, dvalid, adv_in, demb,
       px0, py0, pc0, vx0, vy0, sc0, ids0, st0, hi0, ag0, lf0, ac0, cnt0,
-      kf0)
+      slot0, kf0, emb0)
 
     (o_ids, o_sc, o_emit, o_na, o_px, o_py, o_pc, o_box,
      px, py, pc, vx, vy, sc, ids, st, hi, ag, lf, ac, cnt, slot,
-     kf_out) = outs
+     kf_out, emb_out) = outs
     if use_kf:
         kf_mean_out = jnp.stack([kf_out[i][:, :KP] for i in range(8)],
                                 axis=-1).reshape(T, KP * 8)
@@ -690,6 +816,12 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
                                axis=-1).reshape(T, KP * 8)
     else:
         kf_mean_out, kf_cov_out = state.kf_mean, state.kf_cov
+    if use_reid:
+        embeddings_out = jnp.stack(
+            [emb_out[c][:, :KP] for c in range(3)],
+            axis=-1).reshape(T, KP * 3)
+    else:
+        embeddings_out = state.embeddings
 
     poses_out = jnp.stack([o_px[..., :KP], o_py[..., :KP],
                            o_pc[..., :KP]], axis=-1)       # [K,D,17,3]
@@ -702,7 +834,7 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
         next_id=cnt[0, 0], frame=cnt[0, 1],
         det_track_slot=slot[0],
         kf_mean=kf_mean_out, kf_cov=kf_cov_out,
-        embeddings=state.embeddings,
+        embeddings=embeddings_out,
     )
     outs_dict = {
         "ids": o_ids[:, 0, :],

@@ -161,18 +161,19 @@ class PosePipeline:
             # TPU: the whole K-frame tracker recurrence as ONE fused
             # Pallas kernel with the state VMEM-resident across frames
             # (ops/pallas_tracker.py — removes the ~100-op/frame scan
-            # overhead); handles both motion models. Elsewhere / Re-ID:
+            # overhead); handles both motion models AND the Re-ID
+            # appearance blend (embedding planes in-kernel). Elsewhere:
             # the lax.scan path.
-            if (jax.default_backend() == "tpu"
-                    and trk_cfg.reid_weight == 0.0):
-                from ..ops.pallas_tracker import tracker_chunk_pallas
-                return tracker_chunk_pallas(state, dets, trk_cfg)
-
             if trk_cfg.reid_weight > 0.0:
                 from ..ops.reid import pose_color_embedding
                 embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
             else:
                 embs = None
+
+            if jax.default_backend() == "tpu":
+                from ..ops.pallas_tracker import tracker_chunk_pallas
+                return tracker_chunk_pallas(state, dets, trk_cfg,
+                                            det_embeddings=embs)
 
             def track_one(state, det, emb=None):
                 state, aux = tracker_step(state, det, trk_cfg,

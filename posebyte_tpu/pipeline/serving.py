@@ -93,6 +93,16 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
     else:
         embs = jnp.zeros((frames_flat.shape[0], 1))   # scan placeholder
 
+    # TPU: the fused chunk kernel with per-frame advance gating — the
+    # production serving path gets megakernel speed (reset was applied
+    # above; a starved frame leaves state untouched and emits nothing).
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_tracker import tracker_chunk_pallas
+        return tracker_chunk_pallas(
+            state, dets, trk_cfg,
+            det_embeddings=embs if trk_cfg.reid_weight > 0.0 else None,
+            advance=advance)
+
     def track_one(state, det_adv):
         det, adv, emb = det_adv
         new_state, aux = tracker_step(
@@ -129,7 +139,10 @@ class StreamServer:
     def __init__(self, num_streams: int, frame_shape: tuple[int, int],
                  config: PipelineConfig = PipelineConfig(),
                  mesh: Optional[Mesh] = None, params=None, seed: int = 0,
-                 dtype=jnp.bfloat16, heads_fn=None):
+                 dtype=None, heads_fn=None):
+        if dtype is None:    # honor config.precision, as PosePipeline does
+            dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+                     "int8": jnp.bfloat16}[config.precision]
         self.config = config
         self.num_streams = num_streams
         self.frame_h, self.frame_w = frame_shape
@@ -253,7 +266,7 @@ class ChunkedStreamServer(StreamServer):
                  chunk: int = 8,
                  config: PipelineConfig = PipelineConfig(),
                  mesh: Optional[Mesh] = None, params=None, seed: int = 0,
-                 dtype=jnp.bfloat16, heads_fn=None):
+                 dtype=None, heads_fn=None):
         super().__init__(num_streams, frame_shape, config=config,
                          mesh=mesh, params=params, seed=seed,
                          dtype=dtype, heads_fn=heads_fn)

@@ -34,8 +34,9 @@ def load_tracker_state(path: str) -> TrackerState:
     # to their init values when absent from older checkpoints
     if "embeddings" in {fld.name for fld in dataclasses.fields(TrackerState)} \
             and "embeddings" not in arrays:
+        from ..ops.reid import REID_DIM
         T = arrays["poses"].shape[0]
-        arrays["embeddings"] = jnp.zeros((T, 51), jnp.float32)
+        arrays["embeddings"] = jnp.zeros((T, REID_DIM), jnp.float32)
     return TrackerState(**arrays)
 
 

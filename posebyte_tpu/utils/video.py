@@ -77,9 +77,10 @@ class PrefetchVideoReader(VideoReader):
 
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = False
+        self._stop = False
 
         def worker():
-            while True:
+            while not self._stop:
                 f = super(PrefetchVideoReader, self).read()
                 self._q.put(f)
                 if f is None:
@@ -97,9 +98,17 @@ class PrefetchVideoReader(VideoReader):
         return f
 
     def release(self):
-        # drain so the worker can exit, then release the capture
-        while not self._done and self.read() is not None:
-            pass
+        # signal the worker to stop, then empty the queue WITHOUT
+        # decoding the remaining frames (early exit on a long video must
+        # not block for the full remaining decode time)
+        self._stop = True
+        self._done = True
+        import queue
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
         self._thread.join(timeout=2.0)
         super().release()
 

@@ -77,7 +77,6 @@ def main():
             jax.block_until_ready(out)
             dt = (time.perf_counter() - t0) / args.iters
             ms_frame = dt * 1e3 / args.batch
-            fps = args.batch * args.iters / (time.perf_counter() - t0 + 1e-12)
             fps = args.batch / dt
             tflops = GFLOPS[size] / ms_frame
             times[prec] = ms_frame

@@ -251,6 +251,170 @@ def test_chunk_kernel_all_empty_from_fresh_state():
     assert int(state.frame) == 6
 
 
+def _make_embeddings(Kf, D, seed=7, occl=0.3):
+    """Synthetic keypoint-blocked appearance descriptors matching the
+    pose_color_embedding convention: zero 3-blocks for occluded
+    keypoints, L2-normalized over all 51 components."""
+    rng = np.random.default_rng(seed)
+    e = rng.normal(size=(Kf, D, 17, 3)).astype(np.float32)
+    e[rng.random((Kf, D, 17)) < occl] = 0.0
+    e = e.reshape(Kf, D, 51)
+    n = np.linalg.norm(e, axis=-1, keepdims=True)
+    return jnp.asarray(e / np.maximum(n, 1e-6))
+
+
+def test_chunk_kernel_reid_matches_scan():
+    """reid_weight > 0: the cosine blend, EMA embedding update, and
+    alloc-takes-detection-embedding all run in-kernel and match the
+    scan path exactly on ids/emit, closely on poses/embeddings."""
+    cfg = TrackerConfig(max_tracks=128, max_detections=64,
+                        reid_weight=0.4, reid_ema=0.85)
+    scene = SyntheticScene(5, 1280, 720, seed=17)
+    rng = np.random.default_rng(6)
+    det_list = []
+    for gt in scene.frames(8):
+        keep = rng.random(len(gt)) > 0.25
+        subset = gt[keep] if keep.any() else gt[:1]
+        det_list.append(poses_to_detections(subset, 64))
+    dets = _stack_dets(det_list)
+    embs = _make_embeddings(8, 64)
+
+    def track_one(state, det_emb):
+        det, emb = det_emb
+        state, aux = tracker_step(state, det, cfg, det_embeddings=emb)
+        ids, scores, poses, boxes, emit = extract_outputs_device(
+            state, det.scores, cfg)
+        return state, {"ids": ids, "emit": emit,
+                       "num_active": aux["num_active"], "poses": poses}
+
+    ref_state, ref_out = jax.jit(
+        lambda s, d, e: jax.lax.scan(track_one, s, (d, e)))(
+            TrackerState.init(128, 64), dets, embs)
+    got_state, got_out = tracker_chunk_pallas(
+        TrackerState.init(128, 64), dets, cfg, det_embeddings=embs,
+        interpret=True)
+
+    ref_out, got_out = jax.device_get((ref_out, got_out))
+    np.testing.assert_array_equal(ref_out["ids"], got_out["ids"])
+    np.testing.assert_array_equal(ref_out["emit"], got_out["emit"])
+    np.testing.assert_array_equal(ref_out["num_active"],
+                                  got_out["num_active"])
+    np.testing.assert_allclose(ref_out["poses"], got_out["poses"],
+                               atol=1e-3)
+    ref_state, got_state = jax.device_get((ref_state, got_state))
+    np.testing.assert_array_equal(ref_state.ids, got_state.ids)
+    np.testing.assert_array_equal(ref_state.active, got_state.active)
+    np.testing.assert_allclose(ref_state.embeddings,
+                               got_state.embeddings, atol=1e-4)
+    np.testing.assert_allclose(ref_state.poses, got_state.poses,
+                               atol=1e-3)
+
+
+def _gated_scan_reference(state, dets, advance, cfg):
+    """The serving scan semantics (pipeline/serving._gated_stream_chunk):
+    per-frame advance gating via state blend."""
+    def track_one(state, det_adv):
+        det, adv = det_adv
+        new_state, aux = tracker_step(state, det, cfg)
+        state = jax.tree.map(lambda n, o: jnp.where(adv, n, o),
+                             new_state, state)
+        ids, scores, poses, boxes, emit = extract_outputs_device(
+            state, det.scores, cfg)
+        return state, {"ids": ids, "scores": scores, "poses": poses,
+                       "emit": emit & adv,
+                       "num_active": jnp.where(adv, aux["num_active"],
+                                               0)}
+    return jax.lax.scan(track_one, state, (dets, advance))
+
+
+def test_chunk_kernel_advance_gating_matches_gated_scan():
+    """Starvation pattern (holes in the advance mask): non-advanced
+    frames leave state untouched and emit nothing; state and
+    advanced-frame outputs match the serving scan path."""
+    scene = SyntheticScene(4, 960, 540, seed=23)
+    dets = _stack_dets([poses_to_detections(gt, 64)
+                        for gt in scene.frames(8)])
+    advance = jnp.asarray([True, True, False, True, False, False,
+                           True, True])
+
+    ref_state, ref_out = jax.jit(
+        lambda s, d, a: _gated_scan_reference(s, d, a, CFG))(
+            TrackerState.init(128, 64), dets, advance)
+    got_state, got_out = tracker_chunk_pallas(
+        TrackerState.init(128, 64), dets, CFG, advance=advance,
+        interpret=True)
+
+    ref_out, got_out = jax.device_get((ref_out, got_out))
+    adv = np.asarray(advance)
+    np.testing.assert_array_equal(ref_out["emit"], got_out["emit"])
+    np.testing.assert_array_equal(ref_out["num_active"],
+                                  got_out["num_active"])
+    np.testing.assert_array_equal(ref_out["ids"][adv],
+                                  got_out["ids"][adv])
+    np.testing.assert_allclose(ref_out["poses"][adv],
+                               got_out["poses"][adv], atol=1e-3)
+    assert not got_out["emit"][~adv].any()
+    assert (got_out["ids"][~adv] == -1).all()
+
+    ref_state, got_state = jax.device_get((ref_state, got_state))
+    np.testing.assert_array_equal(ref_state.ids, got_state.ids)
+    np.testing.assert_array_equal(ref_state.states, got_state.states)
+    np.testing.assert_array_equal(ref_state.hits, got_state.hits)
+    np.testing.assert_array_equal(ref_state.ages, got_state.ages)
+    np.testing.assert_array_equal(ref_state.active, got_state.active)
+    assert int(ref_state.frame) == int(got_state.frame)
+    assert int(ref_state.next_id) == int(got_state.next_id)
+    np.testing.assert_array_equal(ref_state.det_track_slot,
+                                  got_state.det_track_slot)
+    np.testing.assert_allclose(ref_state.poses, got_state.poses,
+                               atol=1e-3)
+
+
+def test_chunk_kernel_advance_all_true_is_identity():
+    """advance=all-True must be bit-identical to passing no mask."""
+    scene = SyntheticScene(3, 640, 480, seed=29)
+    dets = _stack_dets([poses_to_detections(gt, 64)
+                        for gt in scene.frames(5)])
+    s_a, o_a = tracker_chunk_pallas(
+        TrackerState.init(128, 64), dets, CFG,
+        advance=jnp.ones(5, bool), interpret=True)
+    s_b, o_b = tracker_chunk_pallas(
+        TrackerState.init(128, 64), dets, CFG, interpret=True)
+    o_a, o_b = jax.device_get((o_a, o_b))
+    for k in o_a:
+        np.testing.assert_array_equal(np.asarray(o_a[k]),
+                                      np.asarray(o_b[k]))
+    s_a, s_b = jax.device_get((s_a, s_b))
+    np.testing.assert_array_equal(s_a.ids, s_b.ids)
+    np.testing.assert_array_equal(np.asarray(s_a.poses),
+                                  np.asarray(s_b.poses))
+
+
+def test_chunk_kernel_starved_chunk_then_resume():
+    """A fully starved chunk is a no-op on state; tracking resumes
+    cleanly in the next chunk (slot-reuse / reopen scenario)."""
+    scene = SyntheticScene(3, 640, 480, seed=31)
+    all_dets = [poses_to_detections(gt, 64) for gt in scene.frames(8)]
+    state = TrackerState.init(128, 64)
+    state, _ = tracker_chunk_pallas(state, _stack_dets(all_dets[:4]),
+                                    CFG, interpret=True)
+    frame_before = int(state.frame)
+    starved, out = tracker_chunk_pallas(
+        state, _stack_dets(all_dets[4:]), CFG,
+        advance=jnp.zeros(4, bool), interpret=True)
+    out = jax.device_get(out)
+    assert not out["emit"].any()
+    assert int(starved.frame) == frame_before
+    np.testing.assert_array_equal(np.asarray(starved.ids),
+                                  np.asarray(state.ids))
+    # resume: same detections now advance and continue identities
+    resumed, out2 = tracker_chunk_pallas(
+        starved, _stack_dets(all_dets[4:]), CFG,
+        advance=jnp.ones(4, bool), interpret=True)
+    assert int(resumed.frame) == frame_before + 4
+    assert jax.device_get(out2)["emit"].any()
+
+
 def test_chunk_kernel_dedup_stress():
     """Many heavily-overlapping figures force the dedup stage to drop
     duplicates — still exactly equal to the scan path."""
