@@ -7,6 +7,8 @@ scan executable (chunks derived in-graph, state threaded), timed as a
 single dispatch + value fetch.
 
 Usage: python scripts/bench_families.py [-m n,s,m,l,x] [-k 64]
+       python scripts/bench_families.py -m all --precisions bf16,int8 \
+           --artifact BENCH_FAMILIES_r03.json   # the one-blob artifact
 """
 import argparse
 import json
@@ -25,14 +27,26 @@ REF_FPS = {"yolov8n-pose": 420, "yolov8s-pose": 327, "yolov8m-pose": 196,
            "yolov8l-pose": 136, "yolov8x-pose": 84,
            "yolo11n-pose": None, "yolo11x-pose": None}
 
+ALL_FAMILIES = ["yolov8n-pose", "yolov8s-pose", "yolov8m-pose",
+                "yolov8l-pose", "yolov8x-pose", "yolo11n-pose",
+                "yolo11s-pose", "yolo11m-pose", "yolo11l-pose",
+                "yolo11x-pose"]
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("-m", "--models", default="s,m")
+    p.add_argument("-m", "--models", default="s,m",
+                   help="comma list of sizes/names, or 'all' for every "
+                        "v8+v11 family")
     p.add_argument("-k", "--chunk", type=int, default=128)
     p.add_argument("--n-chunks", type=int, default=8)
     p.add_argument("--precision", default="bf16",
                    choices=["bf16", "int8"])
+    p.add_argument("--precisions", default="",
+                   help="comma list overriding --precision (runs each)")
+    p.add_argument("--artifact", default="",
+                   help="write all rows to this JSON file (the "
+                        "regression-visible blob BENCHMARKS.md cites)")
     args = p.parse_args()
 
     import jax
@@ -46,15 +60,21 @@ def main():
     K, H, W = args.chunk, 720, 1280
     n_chunks = args.n_chunks
     rng = np.random.default_rng(42)
+    if args.models == "all":
+        names = ALL_FAMILIES
+    else:
+        names = [f"yolov8{s}-pose" if len(s) == 1 else s
+                 for s in args.models.split(",")]
+    precisions = (args.precisions.split(",") if args.precisions
+                  else [args.precision])
     rows = []
-    for size in args.models.split(","):
-        name = f"yolov8{size}-pose" if len(size) == 1 else size
+    for name, precision in [(n, pr) for n in names for pr in precisions]:
         config = PipelineConfig(
             detector=DetectorConfig(input_size=640, num_anchors=8400),
             tracker=TrackerConfig(), model_name=name,
-            precision=args.precision)
+            precision=precision)
         pipe = PosePipeline(config)
-        if args.precision == "int8":
+        if precision == "int8":
             # fixed act_scales: perf-identical to calibrated ones
             from posebyte_tpu.models.quant import (conv_paths,
                                                    quantize_params)
@@ -88,13 +108,27 @@ def main():
         dt = time.perf_counter() - t0
         fps = n_chunks * K / dt
         ref = REF_FPS.get(name)
-        rows.append({"model": name, "fps": round(fps, 1),
+        rows.append({"model": name, "precision": precision,
+                     "fps": round(fps, 1),
                      "ms_per_frame": round(1e3 * dt / (n_chunks * K), 4),
                      "vs_ref": round(fps / ref, 2) if ref else None})
-        print(f"{name:14s} {fps:8.1f} fps  "
+        print(f"{name:14s} {precision:5s} {fps:8.1f} fps  "
               f"{1e3 * dt / (n_chunks * K):7.4f} ms/frame"
               + (f"  {fps / ref:5.2f}x ref" if ref else ""), flush=True)
+        del pipe
     print(json.dumps(rows))
+    if args.artifact:
+        import jax as _jax
+        blob = {"metric": "e2e_tracked_fps_640", "chunk": K,
+                "n_chunks": n_chunks, "frame_geometry": [H, W],
+                "device": str(_jax.devices()[0]), "rows": rows,
+                "ref_fps_fp16": REF_FPS,
+                "note": "one scan executable per row, chunks derived "
+                        "in-graph, state threaded, single value-fetch "
+                        "timing (relay-proof; see bench.py)"}
+        with open(args.artifact, "w") as f:
+            json.dump(blob, f, indent=1)
+        print(f"wrote {args.artifact}")
     return 0
 
 

@@ -1,0 +1,147 @@
+"""Trained weights through the REAL network, from pixels — no oracle.
+
+The final link of the accuracy loop (VERDICT r2 item 1): the conv net
+itself, with weights trained on the synthetic renderer
+(scripts/train_synthetic.py), must find people in rendered frames
+through the full production pipeline — pixels -> letterbox -> forward
+-> sparse decode -> OKS NMS -> tracker -> un-letterbox — meeting the
+quantitative bar the reference only ever meets implicitly with real
+TensorRT engines (yolo_pose_engine.cpp:183-411, README.md:203-221).
+
+The clip is held out: scene seeds/geometry never appear in the
+training distribution (train seeds are seed0+1000+k with seed0 in
+{0, 777000}; this uses 424242).
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+ASSET = os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "yolov8n-pose-synthetic256.safetensors")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ASSET),
+    reason="trained synthetic checkpoint not present")
+
+S = 256
+W, H = 640, 360
+SEED = 424242
+
+
+def _load():
+    from posebyte_tpu.models.weights import load_params
+    params, name = load_params(ASSET)
+    assert name == "yolov8n-pose"
+    return params, name
+
+
+def _clip(n_frames, n_persons=3):
+    from posebyte_tpu.utils.synthetic import SyntheticScene, render_frame
+    scene = SyntheticScene(n_persons=n_persons, width=W, height=H,
+                           seed=SEED, scale_range=(80.0, 130.0),
+                           speed=4.0)
+    frames, gts = [], []
+    for gt in scene.frames(n_frames):
+        frames.append(render_frame(gt, W, H))
+        gts.append(gt.copy())
+    return frames, gts
+
+
+def _pipeline(params, name, conf=0.30):
+    from posebyte_tpu.core.config import (DetectorConfig, PipelineConfig,
+                                          TrackerConfig)
+    from posebyte_tpu.pipeline import PosePipeline
+    num_anchors = sum((S // s) ** 2 for s in (8, 16, 32))
+    config = PipelineConfig(
+        detector=DetectorConfig(input_size=S, num_anchors=num_anchors,
+                                conf_threshold=conf),
+        tracker=TrackerConfig.from_conf_threshold(conf),
+        model_name=name, precision="fp32")
+    return PosePipeline(config, params=params)
+
+
+def test_trained_network_tracks_people_from_pixels():
+    """Detection OKS-mAP >= 0.8 and MOTA >= 0.8 on a held-out rendered
+    clip, real weights, no detector bypass anywhere."""
+    from posebyte_tpu.utils.evaluation import (TrackingEvaluator,
+                                               keypoint_map)
+    params, name = _load()
+    pipe = _pipeline(params, name)
+    frames, gts = _clip(48)
+
+    ev = TrackingEvaluator(oks_threshold=0.5)
+    det_gt, det_pred, det_scores = [], [], []
+    warmup = pipe.config.tracker.min_hits
+    for f, (frame, gt) in enumerate(zip(frames, gts)):
+        out = pipe.process_frame(frame)
+        tracks = pipe.fetch_outputs(out, W, H)
+        if f >= warmup:
+            ev.update({i: gt[i] for i in range(len(gt))}, tracks)
+        det_gt.append(gt)
+        det_pred.append(np.stack([t.keypoints for t in tracks])
+                        if tracks else np.zeros((0, 17, 3), np.float32))
+        det_scores.append(np.asarray([t.score for t in tracks],
+                                     np.float32))
+
+    maps = keypoint_map(det_gt, det_pred, det_scores)
+    s = ev.summary()
+    assert maps["mAP"] >= 0.8, (maps, s)
+    assert s["MOTA"] >= 0.8, (maps, s)
+    assert s["id_switches"] <= 1, s
+
+
+def test_trained_int8_agreement_is_real():
+    """The int8 accuracy delta measured with TRAINED weights and real
+    (rendered-frame) activation calibration — the re-run VERDICT r2
+    weak item 3 asks for; random-weight agreement is only plumbing."""
+    import jax.numpy as jnp
+    from posebyte_tpu.models import build_model_heads
+    from posebyte_tpu.models.quant import (calibrate_activations,
+                                           quantize_params)
+    from posebyte_tpu.ops.decode import decode_topk
+    from posebyte_tpu.ops.nms import pose_nms
+    from posebyte_tpu.ops.preprocess import letterbox_image
+    from posebyte_tpu.utils.evaluation import keypoint_map
+
+    params, name = _load()
+    frames, gts = _clip(10)
+    heads_fn, _ = build_model_heads(name, jnp.float32)
+
+    def lb(frame):
+        return jnp.transpose(letterbox_image(jnp.asarray(frame), S),
+                             (1, 2, 0))
+
+    # real calibration: rendered letterboxed frames through the net
+    calib = np.stack([np.asarray(lb(f)) for f in frames[:4]])
+    qparams = quantize_params(params)
+    qparams = calibrate_activations(qparams, name, calib)
+
+    def detect(pv, img):
+        box, cls, kpt = heads_fn(pv, img[None])
+        d = decode_topk(box[0], cls[0], kpt[0], 0.30, 32, S)
+        return pose_nms(d, 0.55, 0.55, 8, presorted=True)
+
+    jd = jax.jit(detect)
+    refs, preds, scores, gt_used = [], [], [], []
+    for frame, gt in zip(frames[4:], gts[4:]):
+        img = lb(frame)
+        a = jax.device_get(jd(params, img))
+        b = jax.device_get(jd(qparams, img))
+        ka = [i for i in range(8) if a.valid[i]]
+        kb = [i for i in range(8) if b.valid[i]]
+        refs.append(np.stack([a.poses[i] for i in ka])
+                    if ka else np.zeros((0, 17, 3), np.float32))
+        preds.append(np.stack([b.poses[i] for i in kb])
+                     if kb else np.zeros((0, 17, 3), np.float32))
+        scores.append(np.asarray([float(b.scores[i]) for i in kb]))
+        assert abs(len(ka) - len(kb)) <= 1
+        gt_used.append(gt)
+
+    # int8 vs float agreement
+    m = keypoint_map(refs, preds, scores)
+    assert m["mAP"] >= 0.8, m
+    # and int8 still finds the actual people (vs GT, not just vs float)
+    m_gt = keypoint_map(gt_used, preds, scores)
+    assert m_gt["mAP"] >= 0.7, m_gt
