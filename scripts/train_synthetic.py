@@ -46,48 +46,106 @@ GEOMETRIES = [(640, 360), (960, 540), (1280, 720), (480, 480),
               (424, 640), (640, 480)]
 
 
-def fetch_params_verified(params, tries: int = 8):
-    """device_get of a large pytree through the relay tunnel can return
-    stale or partially-materialized arrays (empirically: the round-3
-    checkpoint saved garbage for ~11/144 leaves while the SAME numpy
-    arrays read correctly moments later — docs/DEVELOPMENT.md quirk
-    "device_get coherence"). Defend: copy the params to FRESH device
-    buffers (defeats per-buffer memoization), fetch twice
-    independently, require bitwise-identical results, and cross-check
-    per-leaf |sum| against device-computed checksums. Retry until
-    coherent."""
+def _fetch_plain(params):
+    import jax
+    return jax.tree.map(lambda x: np.array(x, copy=True),
+                        jax.device_get(params))
+
+
+def _fetch_flat(params):
+    """Fetch every leaf as a 1-D array (forces a linear-layout d2h
+    path), reshape on host."""
+    import jax
+    flat = jax.device_get(
+        jax.jit(lambda t: jax.tree.map(lambda a: a.reshape(-1), t))(
+            params))
+    return jax.tree.map(lambda f, a: np.array(f, copy=True)
+                        .reshape(a.shape), flat, params)
+
+
+def _fetch_salted(params, salt: float):
+    """Fetch through value-perturbed buffers (a + salt on device,
+    - salt on host): the device buffers hold DIFFERENT bytes than any
+    prior fetch, defeating any relay-side content or buffer
+    memoization; the f32 round trip costs ~1e-7 relative error."""
     import jax
     import jax.numpy as jnp
+    s = jnp.float32(salt)
+    pert = jax.jit(lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32) + s, t))(params)
+    fetched = jax.device_get(pert)
+    return jax.tree.map(
+        lambda f, a: (np.array(f, np.float32) - np.float32(salt))
+        .astype(np.asarray(a).dtype if hasattr(a, "dtype")
+                else np.float32).reshape(np.shape(a)), fetched, params)
 
-    copy_fn = jax.jit(lambda p: jax.tree.map(lambda a: a + 0, p))
-    sums_fn = jax.jit(lambda p: jax.tree.map(
-        lambda a: jnp.sum(jnp.abs(a.astype(jnp.float32))), p))
-    for t in range(tries):
-        fresh1 = copy_fn(params)
-        fresh2 = copy_fn(params)
-        jax.block_until_ready((fresh1, fresh2))
-        dev_sums = jax.device_get(sums_fn(fresh1))
-        a = jax.tree.map(lambda x: np.array(x, copy=True),
-                         jax.device_get(fresh1))
-        b = jax.tree.map(lambda x: np.array(x, copy=True),
-                         jax.device_get(fresh2))
-        bit_ok = all(np.array_equal(x, y) for x, y in
-                     zip(jax.tree.leaves(a), jax.tree.leaves(b)))
-        sum_ok = all(
-            np.isclose(float(d), float(np.sum(np.abs(
-                x.astype(np.float32)))), rtol=1e-2, atol=1e-2)
-            for d, x in zip(jax.tree.leaves(dev_sums),
-                            jax.tree.leaves(a)))
-        if bit_ok and sum_ok:
-            if t:
-                print(f"[fetch] coherent after {t + 1} attempts",
-                      flush=True)
-            return a
-        print(f"[fetch] incoherent device_get (bitwise_ok={bit_ok} "
-              f"sum_ok={sum_ok}), retry {t + 1}/{tries}", flush=True)
-        time.sleep(1.0 + t)
-    raise RuntimeError("device_get never returned coherent params "
-                       "through the relay")
+
+def _subprocess_cpu_loss(ckpt: str, model: str, size: int,
+                         seed: int) -> float:
+    """The unfoolable oracle: a FRESH python process on the CPU backend
+    loads the checkpoint from disk and computes the training loss on a
+    train-set prefix. The relay cannot influence this number."""
+    import subprocess
+    code = (
+        "import os; os.environ['JAX_PLATFORMS']='cpu';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, 'scripts');"
+        "import numpy as np, jax.numpy as jnp;"
+        "from train_synthetic import make_split;"
+        "from posebyte_tpu.models.weights import load_params;"
+        "from posebyte_tpu.models.train import batch_loss;"
+        f"p, n = load_params({ckpt!r});"
+        f"d = make_split(32, {size}, {seed}, noise=True);"
+        "d = {k: jnp.asarray(v) for k, v in d.items()};"
+        f"l, _ = batch_loss(p, d, n, {size});"
+        "print('CPULOSS', float(l))"
+    )
+    out = subprocess.run(
+        ["python", "-c", code], capture_output=True, text=True,
+        timeout=1200,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    for line in out.stdout.splitlines():
+        if line.startswith("CPULOSS"):
+            return float(line.split()[1])
+    raise RuntimeError(f"cpu loss check failed: {out.stderr[-500:]}")
+
+
+def save_params_verified(params_dev, out: str, model: str, size: int,
+                         seed: int, expect_loss: float):
+    """Fetch + save + PROVE the checkpoint is the trained model.
+
+    Round-3 finding (docs/DEVELOPMENT.md quirk 11): after a long
+    training session, device_get of the params pytree returned wrong
+    bytes for a subset of leaves — deterministically, with per-leaf
+    value SUMS preserved (a layout/permutation-style scramble), and
+    with re-uploads of those same bytes mapping back to the correct
+    device buffers, so every in-process check passed while the file
+    was garbage. No in-process verification can be trusted; the only
+    reliable acceptance test is a FRESH CPU process computing the
+    train loss of the file. Escalate through fetch strategies until
+    that oracle agrees with the on-device loss."""
+    from posebyte_tpu.models.weights import save_params
+
+    strategies = [
+        ("device_get", lambda p: _fetch_plain(p)),
+        ("flat", lambda p: _fetch_flat(p)),
+        ("salted1", lambda p: _fetch_salted(p, 0.03125)),
+        ("salted2", lambda p: _fetch_salted(p, -0.015625)),
+    ]
+    bar = max(3.0 * expect_loss, expect_loss + 1.5)
+    for name, fetch in strategies:
+        pm = fetch(params_dev)
+        save_params(pm, out, model)
+        loss = _subprocess_cpu_loss(out, model, size, seed)
+        print(f"[save-verify] strategy {name}: cpu-subprocess loss "
+              f"{loss:.4f} (device {expect_loss:.4f}, bar {bar:.2f})",
+              flush=True)
+        if loss <= bar:
+            return pm, loss
+    raise RuntimeError(
+        "every fetch strategy produced a checkpoint whose independent "
+        "CPU loss disagrees with the on-device loss — params cannot "
+        "be extracted faithfully through this relay")
 
 
 def letterbox_host(frame_bgr: np.ndarray, target: int) -> np.ndarray:
@@ -276,12 +334,14 @@ def main():
               f"({(time.time() - t0) / done * 1e3:.1f} ms/step avg)",
               flush=True)
 
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    last_loss = float(np.asarray(losses)[-20:].mean())
     if jax.default_backend() == "cpu":
         params = jax.device_get(params)
+        save_params(params, out, args.model)
     else:
-        params = fetch_params_verified(params)
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_params(params, out, args.model)
+        params, cpu_loss = save_params_verified(
+            params, out, args.model, args.size, args.seed, last_loss)
     print(f"saved {out}", flush=True)
 
     maps = eval_detection(params, val, args.model, args.size)

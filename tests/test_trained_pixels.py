@@ -123,6 +123,9 @@ def test_trained_int8_agreement_is_real():
         d = decode_topk(box[0], cls[0], kpt[0], 0.30, 32, S)
         return pose_nms(d, 0.55, 0.55, 8, presorted=True)
 
+    from posebyte_tpu.ops.preprocess import letterbox_params
+    scale, _, _, pad_x, pad_y = letterbox_params(W, H, S)
+
     jd = jax.jit(detect)
     refs, preds, scores, gt_used = [], [], [], []
     for frame, gt in zip(frames[4:], gts[4:]):
@@ -137,7 +140,9 @@ def test_trained_int8_agreement_is_real():
                      if kb else np.zeros((0, 17, 3), np.float32))
         scores.append(np.asarray([float(b.scores[i]) for i in kb]))
         assert abs(len(ka) - len(kb)) <= 1
-        gt_used.append(gt)
+        gt_lb = gt.copy()              # GT into letterbox/input coords
+        gt_lb[:, :, :2] = gt[:, :, :2] * scale + (pad_x, pad_y)
+        gt_used.append(gt_lb)
 
     # int8 vs float agreement
     m = keypoint_map(refs, preds, scores)
