@@ -142,51 +142,6 @@ def main():
         jax.device_put(f2).block_until_ready()
         h2d.append((time.perf_counter() - t0) * 1e3)
 
-    # (1c) SUSTAINED bulk H2D bandwidth (VERDICT r2 item 2a): stage
-    # several whole chunks back-to-back and time first-put ->
-    # all-complete. Unlike the single-frame probe above, the relay
-    # floor amortizes over ~350 MB per put, so this bounds what real
-    # frame ingest can sustain; ingest_bound_fps derives from it.
-    bulk_np = [np.ascontiguousarray(
-        rng.integers(0, 255, (K, H * W * 3), dtype=np.uint8))
-        for _ in range(4)]
-    warm = jax.device_put(bulk_np[0])           # connection warm-up
-    warm.block_until_ready()
-    del warm
-    t0 = time.perf_counter()
-    handles = [jax.device_put(b) for b in bulk_np]
-    jax.block_until_ready(handles)
-    bulk_s = time.perf_counter() - t0
-    bulk_bytes = sum(b.nbytes for b in bulk_np)
-    h2d_gbps = bulk_bytes / bulk_s / 1e9
-    frame_bytes = H * W * 3
-    ingest_bound_fps = bulk_bytes / frame_bytes / bulk_s
-    del handles, bulk_np
-
-    # (1d) process_stream end-to-end (VERDICT r2 item 2b): the
-    # production depth-pipelined ingest loop over 512 FRESH host frames
-    # (new buffers, distinct content), H2D overlapping compute with
-    # backpressure. On this host every yielded frame pays the relay
-    # sync floor, so the result is floor-dominated (quantified in the
-    # note); a direct-attached deployment pays sub-ms syncs instead.
-    n_stream = 512
-    base_frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-                   for _ in range(16)]
-
-    def fresh_frames():
-        for i in range(n_stream):
-            yield np.bitwise_xor(base_frames[i % 16], np.uint8(i & 0xFF))
-
-    # warm the (H, W) single-frame executable path
-    for _ in pipe.process_stream(iter(base_frames[:2]), sync_depth=2):
-        pass
-    t0 = time.perf_counter()
-    n_yield = 0
-    for out in pipe.process_stream(fresh_frames(), sync_depth=4):
-        n_yield += 1
-    stream_s = time.perf_counter() - t0
-    stream_fps = n_yield / stream_s
-
     # (2) fully synchronous fresh-host-buffer per-frame (worst case)
     lat_stream = []
     for i in range(10):
@@ -224,6 +179,54 @@ def main():
         last = pipe.process_frame_device(ring[i % 4], H, W)
     _ = int(jax.device_get(last["num_active"]))
     exec_ms = (time.perf_counter() - t0) * 1e3 / n_exec
+
+    # (5) SUSTAINED bulk H2D bandwidth (VERDICT r2 item 2a): stage
+    # several whole chunks back-to-back and time first-put ->
+    # all-complete; the relay floor amortizes over ~350 MB per put.
+    # ingest_bound_fps = that bandwidth / one frame. Runs AFTER the
+    # latency probes — bulk puts congest the relay and it recovers
+    # slowly (DEVELOPMENT.md quirk 9), so these legs must not precede
+    # any timing-sensitive measurement.
+    bulk_np = [np.ascontiguousarray(
+        rng.integers(0, 255, (K, H * W * 3), dtype=np.uint8))
+        for _ in range(4)]
+    warm = jax.device_put(bulk_np[0])           # connection warm-up
+    warm.block_until_ready()
+    del warm
+    t0 = time.perf_counter()
+    handles = [jax.device_put(b) for b in bulk_np]
+    jax.block_until_ready(handles)
+    bulk_s = time.perf_counter() - t0
+    bulk_bytes = sum(b.nbytes for b in bulk_np)
+    h2d_gbps = bulk_bytes / bulk_s / 1e9
+    frame_bytes = H * W * 3
+    ingest_bound_fps = bulk_bytes / frame_bytes / bulk_s
+    del handles, bulk_np
+
+    # (6) process_stream end-to-end (VERDICT r2 item 2b): the
+    # production depth-pipelined ingest loop over 512 FRESH host frames
+    # (new buffers, distinct content), H2D overlapping compute with
+    # backpressure. On this host each 2.7 MB put rides the ~35 MB/s
+    # relay link and every yield pays the RPC floor, so the result is
+    # ingest/floor-dominated (quantified in the note); a
+    # direct-attached deployment pays GB/s DMA + sub-ms syncs instead.
+    n_stream = 512
+    base_frames = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+                   for _ in range(16)]
+
+    def fresh_frames():
+        for i in range(n_stream):
+            yield np.bitwise_xor(base_frames[i % 16], np.uint8(i & 0xFF))
+
+    # warm the (H, W) single-frame executable path
+    for _ in pipe.process_stream(iter(base_frames[:2]), sync_depth=2):
+        pass
+    t0 = time.perf_counter()
+    n_yield = 0
+    for out in pipe.process_stream(fresh_frames(), sync_depth=4):
+        n_yield += 1
+    stream_s = time.perf_counter() - t0
+    stream_fps = n_yield / stream_s
 
 
     # -- INT8 leg: same chunk loop with a w8a8-quantized engine --------
@@ -293,14 +296,17 @@ def main():
                  "deployment pays, ref contract 2.32ms); h2d_GBps = "
                  "sustained bulk staging bandwidth (4x ~350MB puts), "
                  "ingest_bound_fps = h2d_GBps / one 2.7MB 720p frame — "
-                 "the honest ingest ceiling for the chunked loop; "
+                 "the honest ingest ceiling ON THIS HOST, where the "
+                 "relay tunnel caps H2D at ~0.04 GB/s (same ~35MB/s "
+                 "whether one 2.7MB frame or a 350MB chunk — a tunnel "
+                 "artifact; direct-attached v5e ingest is GB/s DMA, "
+                 "under which the chunk loop remains compute-bound); "
                  "stream_pipelined_fps = process_stream over 512 fresh "
-                 "host frames, floor-dominated on this host because "
-                 "every yield pays the tunnel RPC floor "
-                 "(sync_floor_ms, ~28ms -> ~35fps ceiling regardless "
-                 "of compute); h2d_min_ms = one quiesced 2.7MB frame "
-                 "put (floor-dominated); any synchronous block adds "
-                 "the floor -> stream/resident p50s likewise"),
+                 "host frames, bounded by that same link (2.7MB/frame "
+                 "over ~35MB/s -> ~13fps) plus the per-yield RPC floor "
+                 "(sync_floor_ms); h2d_min_ms = one quiesced 2.7MB "
+                 "frame put; any synchronous block adds the floor -> "
+                 "stream/resident p50s likewise"),
         "device": str(jax.devices()[0]),
         "precision": "bf16",
     }
