@@ -42,6 +42,9 @@ def build_parser():
                    help="per-frame detection/track dumps")
     p.add_argument("--precision", default="bf16",
                    choices=["fp32", "bf16", "int8"])
+    p.add_argument("--size", type=int, default=640,
+                   help="model input size (e.g. 256 for the "
+                        "synthetic-trained checkpoint)")
     p.add_argument("--chunk", type=int, default=0,
                    help="process N frames per dispatch (batched detector"
                         " + scanned tracker; best throughput for video"
@@ -110,9 +113,12 @@ def main(argv=None):
         motion_model=args.motion_model,
         reid_weight=args.reid,
     )
+    num_anchors = sum((args.size // s) ** 2 for s in (8, 16, 32))
     config = PipelineConfig(
         detector=DetectorConfig(conf_threshold=args.conf,
-                                iou_threshold=args.nms),
+                                iou_threshold=args.nms,
+                                input_size=args.size,
+                                num_anchors=num_anchors),
         tracker=tracker_cfg,
         model_name=model_name,
         precision=args.precision,
