@@ -71,6 +71,46 @@ def _interp_matrices(input_width: int, input_height: int, target: int):
     return Wy, Wx, in_content
 
 
+@functools.lru_cache(maxsize=16)
+def _selection_strides(input_width: int, input_height: int, target: int):
+    """Detect the pure-selection degenerate case of the bilinear
+    letterbox: when every output sample lands EXACTLY on an input pixel
+    (fractional weight 0) with a uniform stride on both axes, the
+    resample is a strided slice, not an interpolation.
+
+    This covers every canonical video geometry — 1280x720, 1920x1080,
+    and 3840x2160 into a 640 (or 256/320) square are exact integer
+    decimations (e.g. 720p->640: scale=0.5, src_y=2(y-140)) — where the
+    dense interpolation matmuls of the general path spend ~6.7 GFLOPs
+    per frame computing a selection. Returns ((y0, sy), (x0, sx)) or
+    None if genuine interpolation is required.
+    """
+    scale, new_w, new_h, pad_x, pad_y = letterbox_params(
+        input_width, input_height, target)
+
+    def axis_sel(n_in, pad, n_content):
+        t = np.arange(target, dtype=np.float64)
+        src = np.clip((t - pad) / scale, 0.0, n_in - 1.001)
+        i0 = src.astype(np.int64)
+        w1 = src - i0
+        c = slice(pad, pad + n_content)
+        if not np.all(w1[c] < 1e-9):
+            return None
+        idx = i0[c]
+        if n_content == 1:
+            return int(idx[0]), 1
+        steps = np.diff(idx)
+        if steps[0] < 1 or not np.all(steps == steps[0]):
+            return None
+        return int(idx[0]), int(steps[0])
+
+    ysel = axis_sel(input_height, pad_y, new_h)
+    xsel = axis_sel(input_width, pad_x, new_w)
+    if ysel is None or xsel is None:
+        return None
+    return ysel, xsel
+
+
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
                                     "bgr_to_rgb", "out_dtype"))
@@ -81,8 +121,13 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
                         out_dtype=jnp.float32) -> jnp.ndarray:
     """Flat uint8 [H*W*3] frame -> [target, target, 3] HWC float.
 
-    The production path: flat-byte H2D, two MXU matmuls, and the output
-    already in the model's NHWC layout (no extra transpose pass).
+    The production path: flat-byte H2D, then EITHER a strided slice
+    (when the geometry is an exact integer decimation — all canonical
+    video sizes; bandwidth-bound, no FLOPs) or two MXU matmuls (the
+    general bilinear case), with the output already in the model's NHWC
+    layout (no extra transpose pass). The two formulations compute the
+    same sampling (reference: preprocess.cu:50-77) — at integer source
+    positions bilinear IS selection — and agree exactly in f32.
 
     out_dtype: interpolation always runs in f32; a bf16 out_dtype
     rounds only the FINAL pixel values — exactly the rounding the bf16
@@ -90,6 +135,26 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
     [target, target, 3] intermediate (pipeline callers pass the model
     compute dtype).
     """
+    sel = _selection_strides(input_width, input_height, target)
+    if sel is not None:
+        (y0, sy), (x0, sx) = sel
+        _, new_w, new_h, pad_x, pad_y = letterbox_params(
+            input_width, input_height, target)
+        img = frame_flat.reshape(input_height, input_width, 3)
+        content = jax.lax.slice(
+            img, (y0, x0, 0),
+            (y0 + sy * (new_h - 1) + 1, x0 + sx * (new_w - 1) + 1, 3),
+            (sy, sx, 1))
+        content = content.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        if bgr_to_rgb:
+            content = content[..., ::-1]
+        out = jnp.pad(
+            content,
+            ((pad_y, target - new_h - pad_y),
+             (pad_x, target - new_w - pad_x), (0, 0)),
+            constant_values=C.LETTERBOX_PAD_VALUE)
+        return out.astype(out_dtype)
+
     Wy_np, Wx_np, mask_np = _interp_matrices(input_width, input_height,
                                              target)
     Wy = jnp.asarray(Wy_np)

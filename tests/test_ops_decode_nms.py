@@ -131,6 +131,34 @@ def test_letterbox_image_padding_and_values():
     np.testing.assert_allclose(out[2, mid, 32], 0.0, atol=1e-5)
 
 
+def test_letterbox_selection_path_matches_matmul_path():
+    """For exact-decimation geometries (all canonical video sizes) the
+    strided-slice fast path must equal the general bilinear-matmul
+    formulation bit-for-bit in f32 (at integer source positions
+    bilinear IS selection, and both paths do the same single
+    val * (1/255) multiply)."""
+    from posebyte_tpu.ops.preprocess import (_selection_strides,
+                                             letterbox_flat_nhwc)
+    rng = np.random.default_rng(3)
+    for (w, h, tgt) in [(1280, 720, 640), (1920, 1080, 640),
+                        (1280, 720, 256)]:
+        assert _selection_strides(w, h, tgt) is not None
+        flat = jnp.asarray(rng.integers(0, 255, (h * w * 3,), np.uint8))
+        fast = np.asarray(letterbox_flat_nhwc(flat, w, h, tgt))
+        # force the general path by bypassing the selection branch
+        import posebyte_tpu.ops.preprocess as pp
+        orig = pp._selection_strides
+        pp._selection_strides = lambda *a: None
+        try:
+            slow = np.asarray(
+                letterbox_flat_nhwc.__wrapped__(flat, w, h, tgt))
+        finally:
+            pp._selection_strides = orig
+        np.testing.assert_array_equal(fast, slow)
+    # non-decimating geometry must NOT take the fast path
+    assert _selection_strides(200, 100, 64) is None
+
+
 def test_unletterbox_roundtrip():
     # model-space center of a 1920x1080 frame maps back to frame center
     xy = jnp.asarray([[320.0, 320.0]])
