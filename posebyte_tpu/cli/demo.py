@@ -54,6 +54,11 @@ def build_parser():
                         "geometric association, the reference behavior;"
                         " >0 blends a pose-aligned color descriptor "
                         "into the high-conf and lost-recovery tiers)")
+    p.add_argument("--reid-weights", default="", metavar="PATH",
+                   help="learned Re-ID head checkpoint "
+                        "(scripts/train_reid.py safetensors); replaces "
+                        "the training-free color descriptor as the "
+                        "appearance source when --reid > 0")
     p.add_argument("--motion-model", default="cv",
                    choices=["cv", "kalman136"],
                    help="tracker motion model: constant-velocity (the"
@@ -123,7 +128,12 @@ def main(argv=None):
         model_name=model_name,
         precision=args.precision,
     )
-    pipe = PosePipeline(config, params=params)
+    reid_params = None
+    if args.reid_weights:
+        from ..models.reid_head import load_reid_head
+        reid_params = load_reid_head(args.reid_weights)
+        print(f"Loaded learned Re-ID head: {args.reid_weights}")
+    pipe = PosePipeline(config, params=params, reid_params=reid_params)
     print(f"Tracker initialized (max {tracker_cfg.max_tracks} tracks, "
           f"{tracker_cfg.max_detections} detections)")
     if args.resume_state:

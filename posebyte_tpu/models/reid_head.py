@@ -1,0 +1,118 @@
+"""Learned appearance Re-ID head: pose-aligned patches -> embedding.
+
+The tracker's appearance seam (ops/reid.py) accepts embeddings from any
+source; the built-in source is a training-free 1-pixel color sample per
+keypoint. This module is the LEARNED source (beyond the reference's
+surface — gpu_tracker.cu associates purely on geometry): a shared
+per-keypoint MLP over a PxP pixel patch centered on each keypoint,
+producing a 3-D code per keypoint.
+
+Design constraints that shape it:
+  * Output layout is [17, 3] flattened to REID_DIM=51 with invisible
+    keypoints zeroed — the exact block structure ops/reid.py's
+    co-visibility cosine and the fused tracker kernel's embedding
+    planes already speak, so learned embeddings drop into the per-frame
+    path, the scan path, AND the Pallas megakernel unchanged.
+  * The MLP is shared across keypoints (weight-tied like a 1x1 conv):
+    2.7k params, a few microseconds per frame on the VPU/MXU — the
+    detector stays >99% of the compute.
+  * Pure-JAX params pytree, trainable with the same optax/safetensors
+    machinery as the detector (scripts/train_reid.py trains it on the
+    synthetic renderer's identity-colored figures with an InfoNCE
+    objective over identity pairs across frames).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import constants as C
+from ..ops.reid import REID_DIM
+
+# Patch geometry: PATCH x PATCH samples, SPACING px apart, centered on
+# each keypoint (in model-input pixel coordinates).
+PATCH = 5
+SPACING = 2.0
+IN_DIM = PATCH * PATCH * 3
+HIDDEN = 32
+
+
+def init_reid_head(key, hidden: int = HIDDEN) -> dict:
+    """Initialize the shared per-keypoint MLP: IN_DIM -> hidden -> 3."""
+    k1, k2 = jax.random.split(key)
+    s1 = 1.0 / np.sqrt(IN_DIM)
+    s2 = 1.0 / np.sqrt(hidden)
+    return {
+        "w1": jax.random.uniform(k1, (IN_DIM, hidden), jnp.float32,
+                                 -s1, s1),
+        "b1": jnp.zeros((hidden,), jnp.float32),
+        "w2": jax.random.uniform(k2, (hidden, 3), jnp.float32, -s2, s2),
+        "b2": jnp.zeros((3,), jnp.float32),
+    }
+
+
+def _sample_patches(image_hwc: jnp.ndarray,
+                    poses: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear PxP patch per keypoint: [N, 17, PATCH*PATCH*3] f32.
+
+    Same sampling scheme as ops/reid.pose_color_embedding, widened to a
+    patch; coordinates clamp to the image so edge poses stay valid.
+    """
+    S = image_hwc.shape[0]
+    img = image_hwc.astype(jnp.float32)
+    xy = poses[..., :2]                                     # [N,17,2]
+    off = (np.arange(PATCH, dtype=np.float32) - (PATCH - 1) / 2.0) \
+        * SPACING
+    ox, oy = np.meshgrid(off, off)                          # [P,P]
+    offs = np.stack([ox.ravel(), oy.ravel()], -1)           # [P*P,2]
+    pts = xy[:, :, None, :] + jnp.asarray(offs)[None, None]  # [N,17,PP,2]
+
+    x = jnp.clip(pts[..., 0], 0.0, S - 1.001)
+    y = jnp.clip(pts[..., 1], 0.0, S - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def at(yi, xi):
+        return img[yi, xi]                                  # [N,17,PP,3]
+
+    c = (at(y0, x0) * (1 - fx) * (1 - fy)
+         + at(y0, x0 + 1) * fx * (1 - fy)
+         + at(y0 + 1, x0) * (1 - fx) * fy
+         + at(y0 + 1, x0 + 1) * fx * fy)                    # [N,17,PP,3]
+    return c.reshape(poses.shape[0], C.NUM_KEYPOINTS, IN_DIM)
+
+
+def apply_reid_head(params: dict, image_hwc: jnp.ndarray,
+                    poses: jnp.ndarray,
+                    conf_gate: float = 0.2) -> jnp.ndarray:
+    """[S,S,3] image + [N,17,3] poses -> L2-normalized [N, REID_DIM].
+
+    Drop-in replacement for ops.reid.pose_color_embedding with the same
+    visibility convention: keypoints with confidence <= conf_gate emit
+    zero blocks, so the co-visibility cosine compares only shared
+    keypoints.
+    """
+    feats = _sample_patches(image_hwc, poses)               # [N,17,IN]
+    h = jax.nn.relu(feats @ params["w1"] + params["b1"])
+    code = h @ params["w2"] + params["b2"]                  # [N,17,3]
+    # tanh bounds the code so one keypoint cannot dominate the cosine
+    code = jnp.tanh(code)
+    code = code * (poses[..., 2] > conf_gate)[..., None]
+    emb = code.reshape(poses.shape[0], REID_DIM)
+    # eps inside the sqrt keeps the all-invisible (zero) embedding's
+    # gradient finite (sqrt(0) backward is inf; 0*inf = NaN in training)
+    norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True) + 1e-12)
+    return emb / jnp.maximum(norm, 1e-6)
+
+
+def save_reid_head(params: dict, path: str) -> None:
+    from safetensors.numpy import save_file
+    save_file({k: np.asarray(v) for k, v in params.items()}, path)
+
+
+def load_reid_head(path: str) -> dict:
+    from safetensors.numpy import load_file
+    return {k: jnp.asarray(v) for k, v in load_file(path).items()}

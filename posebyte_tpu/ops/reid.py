@@ -83,8 +83,15 @@ def cosine_cost_matrix(track_emb: jnp.ndarray,
     vis = (t_e[:, None, :] > 1e-12) & (d_e[None, :, :] > 1e-12)  # [T,D,17]
     dot_kp = jnp.einsum("tkc,dkc->tdk", t, d)               # [T,D,17]
     num = jnp.sum(jnp.where(vis, dot_kp, 0.0), axis=-1)     # [T,D]
-    tn = jnp.sqrt(jnp.sum(jnp.where(vis, t_e[:, None, :], 0.0), axis=-1))
-    dn = jnp.sqrt(jnp.sum(jnp.where(vis, d_e[None, :, :], 0.0), axis=-1))
+    # +eps INSIDE the sqrt: sqrt(0) has an infinite derivative, and the
+    # masked-out dead pairs would otherwise poison gradients with
+    # 0 * inf = NaN when this matrix is differentiated through (Re-ID
+    # head training, scripts/train_reid.py). Live-pair values are
+    # unchanged (energies >> 1e-12).
+    tn = jnp.sqrt(jnp.sum(jnp.where(vis, t_e[:, None, :], 0.0),
+                          axis=-1) + 1e-12)
+    dn = jnp.sqrt(jnp.sum(jnp.where(vis, d_e[None, :, :], 0.0),
+                          axis=-1) + 1e-12)
     cos = num / jnp.maximum(tn * dn, 1e-6)
     dead = ~jnp.any(vis, axis=-1)
     return jnp.where(dead, 1.0, 1.0 - cos)

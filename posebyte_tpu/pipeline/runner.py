@@ -59,13 +59,23 @@ class PosePipeline:
     """
 
     def __init__(self, config: PipelineConfig = PipelineConfig(),
-                 params=None, seed: int = 0, dtype=None, heads_fn=None):
+                 params=None, seed: int = 0, dtype=None, heads_fn=None,
+                 reid_params=None):
         """heads_fn: optional detector override with the
         build_model_heads signature (params, images_nhwc) ->
         (box_logits, cls_logits, kpt_raw). Used by the accuracy loop to
         inject an oracle detector (models/oracle.py) or GT detections;
-        pass `params` explicitly alongside it."""
+        pass `params` explicitly alongside it.
+
+        reid_params: optional learned Re-ID head weights
+        (models/reid_head.py, trained by scripts/train_reid.py). When
+        set and config.tracker.reid_weight > 0, appearance embeddings
+        come from the learned head instead of the training-free
+        pose-color descriptor; both emit the same [N, 51]
+        keypoint-blocked layout, so the tracker (scan and fused-kernel
+        paths alike) is unchanged."""
         self.config = config
+        self.reid_params = reid_params
         if dtype is None:
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
@@ -83,6 +93,17 @@ class PosePipeline:
                                        config.tracker.max_detections)
         self._step_cache = {}
         self.timing = {"dispatch_ms": 0.0, "frames": 0}
+
+    def _embed_fn(self):
+        """(image_hwc, poses) -> [N, 51] appearance embeddings: the
+        learned head when reid_params is loaded, else the training-free
+        pose-color descriptor (identical output layout)."""
+        if self.reid_params is not None:
+            from ..models.reid_head import apply_reid_head
+            rp = self.reid_params
+            return lambda img, poses: apply_reid_head(rp, img, poses)
+        from ..ops.reid import pose_color_embedding
+        return pose_color_embedding
 
     # -- fused step ---------------------------------------------------------
     def _make_step(self, h: int, w: int):
@@ -104,8 +125,7 @@ class PosePipeline:
             det = detect_fn(params, img, det_cfg, heads_fn)
             emb = None
             if trk_cfg.reid_weight > 0.0:
-                from ..ops.reid import pose_color_embedding
-                emb = pose_color_embedding(img, det.poses)
+                emb = self._embed_fn()(img, det.poses)
             state, aux = tracker_step(state, det, trk_cfg,
                                       det_embeddings=emb)
             ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -165,8 +185,7 @@ class PosePipeline:
             # appearance blend (embedding planes in-kernel). Elsewhere:
             # the lax.scan path.
             if trk_cfg.reid_weight > 0.0:
-                from ..ops.reid import pose_color_embedding
-                embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
+                embs = jax.vmap(self._embed_fn())(imgs, dets.poses)
             else:
                 embs = None
 

@@ -121,13 +121,20 @@ def poses_to_detections(poses: np.ndarray, capacity: int,
 
 
 def render_frame(poses: np.ndarray, width: int, height: int,
-                 background: int = 40) -> np.ndarray:
+                 background: int = 40, colors=None) -> np.ndarray:
     """Rasterize GT poses to a BGR uint8 frame with the dependency-free
-    native renderer (skeleton lines + keypoint dots)."""
+    native renderer (skeleton lines + keypoint dots).
+
+    colors: optional [P, 3] uint8/int per-identity BGR colors (Re-ID
+    training randomizes appearance per scene); defaults to the fixed
+    index-derived palette."""
     from .video import draw_pose
 
     frame = np.full((height, width, 3), background, np.uint8)
     for i, pose in enumerate(poses):
-        color = (60 + (60 * i) % 196, 200, 255 - (50 * i) % 200)
+        if colors is not None:
+            color = tuple(int(c) for c in colors[i])
+        else:
+            color = (60 + (60 * i) % 196, 200, 255 - (50 * i) % 200)
         draw_pose(frame, pose, color)
     return frame
