@@ -8,8 +8,11 @@ def __getattr__(name):
     if name in ("StreamServer", "ChunkedStreamServer"):
         from . import serving
         return getattr(serving, name)
+    if name in ("PoseServingFrontend", "PoseClient"):
+        from . import frontend
+        return getattr(frontend, name)
     raise AttributeError(name)
 
 
 __all__ = ["PosePipeline", "detect_fn", "StreamServer",
-           "ChunkedStreamServer"]
+           "ChunkedStreamServer", "PoseServingFrontend", "PoseClient"]

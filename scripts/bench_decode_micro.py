@@ -92,6 +92,31 @@ def main():
     rows["gather_dfl_kpt"] = rows["decode_full"] - rows["topk_only"]
     rows["nms_only"] = rows["decode_nms"] - rows["decode_full"]
 
+    # Same legs on REAL detector-head outputs (conv-produced buffers):
+    # bench_stages measures decode+NMS at ~0.06 ms/frame consuming head
+    # outputs while the synthetic-tensor legs above measure ~0.0004 —
+    # this pair separates "decode math" from "producer-layout cost".
+    from posebyte_tpu.core.config import PipelineConfig
+    from posebyte_tpu.pipeline import PosePipeline
+    pipe = PosePipeline(PipelineConfig(detector=det_cfg,
+                                       model_name="yolov8n-pose",
+                                       precision="bf16"))
+    imgs = jax.device_put(jnp.asarray(
+        rng.uniform(0, 1, (K, S, S, 3)).astype(np.float32), jnp.bfloat16))
+    heads = jax.jit(lambda p, im: pipe.heads_fn(p, im))
+    rbox, rcls, rkpt = heads(pipe.params, imgs)
+    jax.block_until_ready(rkpt)
+    rows["topk_real"] = timeit_fresh(topk_only, rcls)
+    rows["decode_nms_real"] = timeit_fresh(dec_nms, rbox, rcls, rkpt)
+
+    # ...and the real head outputs forced into default (device_put)
+    # layouts via a host round trip: isolates layout from content.
+    hbox, hcls, hkpt = (jax.device_put(jax.device_get(t))
+                        for t in (rbox, rcls, rkpt))
+    jax.block_until_ready(hkpt)
+    rows["decode_nms_real_relaid"] = timeit_fresh(dec_nms, hbox, hcls,
+                                                  hkpt)
+
     print(json.dumps({k: round(v, 4) for k, v in rows.items()}))
     return 0
 
