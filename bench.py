@@ -43,7 +43,11 @@ def main():
     from posebyte_tpu.pipeline import PosePipeline
 
     config = PipelineConfig(
-        detector=DetectorConfig(input_size=640, num_anchors=8400),
+        detector=DetectorConfig(
+            input_size=640, num_anchors=8400,
+            # A/B knob for the candidate-ranking lowering (ops/topk.py):
+            # sort (default) | bisect | approx.
+            topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort")),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",

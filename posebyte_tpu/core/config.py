@@ -88,6 +88,10 @@ class DetectorConfig:
     oks_threshold: float = 0.55    # NMS OKS
     max_candidates: int = 256       # pre-NMS top-k (ref caps at 1024 w/ atomics)
     max_detections: int = C.DEFAULT_MAX_DETECTIONS
+    # Candidate-ranking lowering (ops/topk.py): "sort" = lax.top_k,
+    # "bisect" = exact radix-select (bit-identical), "approx" =
+    # lax.approx_max_k (TPU PartialReduce; opt-in, approximate).
+    topk_impl: str = "sort"
 
 
 @dataclasses.dataclass(frozen=True)

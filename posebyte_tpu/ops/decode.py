@@ -65,10 +65,11 @@ def decode_yolo_output_batch(raw: jnp.ndarray, conf_threshold: float,
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",
-                                             "input_size"))
+                                             "input_size", "topk_impl"))
 def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
                 kpt_raw: jnp.ndarray, conf_threshold: float,
-                max_candidates: int, input_size: int) -> Detections:
+                max_candidates: int, input_size: int,
+                topk_impl: str = "sort") -> Detections:
     """Sparse decode: select top-K anchors on confidence FIRST, then run
     the DFL softmax and keypoint decode only for those K.
 
@@ -77,15 +78,20 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
     decode math is unchanged — but does 8400/K times less decode-tail
     work (the dense tail measured ~24% of the whole model pass at
     batch 128). Single-image: box [A,64], cls [A,1], kpt [A,51].
+
+    `topk_impl` selects the candidate-ranking lowering (ops/topk.py):
+    "sort" (lax.top_k) and "bisect" (radix-select) are bit-identical;
+    "approx" (lax.approx_max_k) is opt-in and approximate.
     """
     from ..models.yolo_pose import REG_MAX, make_anchors
+    from .topk import topk_confidence
 
     A = box_logits.shape[0]
     conf = jax.nn.sigmoid(cls_logits[:, 0].astype(jnp.float32))   # [A]
     passing = conf >= conf_threshold
     ranked = jnp.where(passing, conf, -1.0)
     k = min(max_candidates, A)
-    top_conf, top_idx = jax.lax.top_k(ranked, k)
+    top_conf, top_idx = topk_confidence(ranked, k, topk_impl)
     valid = top_conf > 0.0
 
     anchors_np, strides_np = make_anchors(input_size)

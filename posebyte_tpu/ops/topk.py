@@ -1,0 +1,112 @@
+"""TPU-friendly exact top-k for the decode confidence ranking.
+
+`jax.lax.top_k` lowers to a full O(A log^2 A) bitonic sort network on
+the TPU's vector unit, which is the structural suspect for the
+decode+NMS share of the fused chunk step (docs/BENCHMARKS.md "where
+the time goes"; the reference's CUDA path pays an analogous
+sort in gpu_postprocess.cu:178-203).  This module provides a
+sort-free exact alternative shaped for the hardware:
+
+1. **MSB radix-select** finds the k-th largest value in 31 masked
+   count-reductions (pure VPU map-reduce, no data movement);
+2. the <=k selected lanes are **compacted by a one-hot matmul**
+   (the same selection-matmul idiom the tracker megakernel uses in
+   place of scatters, ops/pallas_tracker.py);
+3. a k-element two-key sort (k=256 vs A=8400) produces the exact
+   (score-descending, index-ascending) order `lax.top_k` defines.
+
+The radix key mapping assumes the decode domain: every entry is
+either exactly -1.0 (masked filler, ops/decode.py:86) or a
+non-negative finite NORMAL float or zero (a sigmoid output; decode
+candidates are >= conf_threshold, and XLA's sort comparator flushes
+subnormals, so subnormal inputs — impossible in decode — are not
+order-distinguished).  On that domain the result is bit-identical to
+`lax.top_k` including tie-breaks; a property test asserts this
+against lax.top_k with adversarial ties (tests/test_topk.py).
+
+`topk_impl` selects the implementation end-to-end
+(core/config.DetectorConfig.topk_impl):
+  - "sort"   — jax.lax.top_k (XLA sort lowering; the r1-r3 default)
+  - "bisect" — this module's radix-select (exact)
+  - "approx" — jax.lax.approx_max_k, the TPU's native PartialReduce
+    op (recall_target 0.95; NOT exact — opt-in, excluded from the
+    fidelity contract; falls back to exact on CPU)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def topk_masked_bisect(ranked: jnp.ndarray, k: int):
+    """Exact `lax.top_k(ranked, k)` for 1-D `ranked` whose entries are
+    either exactly -1.0 or non-negative finite floats.
+
+    Returns (values, indices) bit-identical to lax.top_k (descending
+    values; ties broken toward the lower index).
+    """
+    A = ranked.shape[-1]
+    if k >= A:
+        return lax.top_k(ranked, k)     # degenerate; nothing to save
+    r32 = ranked.astype(jnp.float32)
+
+    # Order-preserving non-negative int32 key on the decode domain:
+    # -1.0 -> 0; x >= 0 -> bits(x) + 1 (IEEE-754 bit patterns of
+    # non-negative floats are monotone in the value).
+    bits = lax.bitcast_convert_type(r32, jnp.int32)
+    key = jnp.where(r32 < 0, jnp.int32(0), bits + 1)          # [A]
+
+    # MSB radix-select: p ends as the largest key value t with
+    # count(key >= t) >= k, i.e. exactly the k-th largest key.
+    def body(p, b):
+        t = p | (jnp.int32(1) << b)
+        cnt = jnp.sum((key >= t).astype(jnp.int32))
+        return jnp.where(cnt >= k, t, p), None
+
+    p, _ = lax.scan(body, jnp.int32(0),
+                    jnp.arange(30, -1, -1, dtype=jnp.int32))
+
+    # Select all keys > p, then the earliest-index ties == p until
+    # exactly k lanes are chosen (lax.top_k's stable tie policy).
+    greater = key > p
+    m = jnp.sum(greater.astype(jnp.int32))
+    equal = key == p
+    eq_rank = jnp.cumsum(equal.astype(jnp.int32))             # 1-based
+    sel = greater | (equal & (eq_rank <= (k - m)))
+
+    # Compact the k selected lanes in index order with a one-hot
+    # selection matmul (scatter-free). Only the INDICES ride the
+    # matmul: one-hot entries are 0/1 and indices < 2^24, so
+    # HIGHEST-precision accumulation is exact and no operand is ever
+    # subnormal (the MXU flushes subnormals — values are recovered by
+    # an exact k-element gather instead).
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1               # [A]
+    onehot = (sel[:, None]
+              & (pos[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]))
+    idx_f = lax.dot_general(
+        onehot.astype(jnp.float32),
+        jnp.arange(A, dtype=jnp.float32)[:, None],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST)                      # [k, 1]
+    idx_io = idx_f[:, 0].astype(jnp.int32)
+    vals_io = r32[idx_io]
+
+    # Exact output order: descending value, ascending index on ties —
+    # a k-element two-key sort (cheap: k << A).
+    neg, idx_sorted, vals_sorted = lax.sort(
+        (-vals_io, idx_io, vals_io), num_keys=2)
+    del neg
+    return vals_sorted.astype(ranked.dtype), idx_sorted
+
+
+def topk_confidence(ranked: jnp.ndarray, k: int, impl: str = "sort"):
+    """Dispatch the decode confidence top-k by implementation name."""
+    if impl == "sort":
+        return lax.top_k(ranked, k)
+    if impl == "bisect":
+        return topk_masked_bisect(ranked, k)
+    if impl == "approx":
+        return lax.approx_max_k(ranked, k, recall_target=0.95)
+    raise ValueError(f"unknown topk_impl {impl!r} "
+                     "(expected sort|bisect|approx)")

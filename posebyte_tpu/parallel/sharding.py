@@ -48,7 +48,8 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
                               det_cfg.input_size)
     box, cls, kpt = heads_fn(params, img[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
-                      det_cfg.max_candidates, det_cfg.input_size)
+                      det_cfg.max_candidates, det_cfg.input_size,
+                      topk_impl=det_cfg.topk_impl)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                    det_cfg.max_detections, presorted=True)
     emb = None
@@ -159,7 +160,8 @@ class MultiStreamChunkPipeline:
             def decode_one(b, c, k):
                 det = _decode_topk(b, c, k, det_cfg.conf_threshold,
                                    det_cfg.max_candidates,
-                                   det_cfg.input_size)
+                                   det_cfg.input_size,
+                                   topk_impl=det_cfg.topk_impl)
                 return _pose_nms(det, det_cfg.iou_threshold,
                                  det_cfg.oks_threshold,
                                  det_cfg.max_detections, presorted=True)

@@ -1,0 +1,93 @@
+"""Exactness of the sort-free decode top-k (ops/topk.py).
+
+The bisect implementation must be bit-identical to jax.lax.top_k —
+values AND indices, including stable tie-breaks — on the decode
+domain (entries are exactly -1.0 or non-negative sigmoid outputs).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posebyte_tpu.ops.topk import topk_confidence, topk_masked_bisect
+
+
+def _ranked(rng, a, fill_frac, quantize=None):
+    """Decode-domain vector: sigmoid-like positives + -1.0 fillers."""
+    conf = rng.uniform(0.0, 1.0, a).astype(np.float32)
+    if quantize:
+        conf = np.round(conf * quantize) / quantize  # force heavy ties
+    mask = rng.uniform(0, 1, a) < fill_frac
+    return jnp.asarray(np.where(mask, -1.0, conf).astype(np.float32))
+
+
+@pytest.mark.parametrize("a,k", [(8400, 256), (8400, 64), (1000, 256),
+                                 (257, 256), (8400, 1)])
+@pytest.mark.parametrize("fill_frac", [0.0, 0.5, 0.97, 1.0])
+def test_bisect_matches_lax_topk(a, k, fill_frac):
+    rng = np.random.default_rng(a * 1000 + k + int(fill_frac * 100))
+    r = _ranked(rng, a, fill_frac)
+    ev, ei = jax.lax.top_k(r, k)
+    bv, bi = topk_masked_bisect(r, k)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+
+
+@pytest.mark.parametrize("quantize", [4, 16, 2])
+def test_bisect_tie_breaks(quantize):
+    # Heavily quantized scores straddle the k-th-largest boundary with
+    # long runs of equal values; order must still match lax.top_k's
+    # stable lowest-index-first policy exactly.
+    rng = np.random.default_rng(quantize)
+    r = _ranked(rng, 4096, 0.3, quantize=quantize)
+    ev, ei = jax.lax.top_k(r, 256)
+    bv, bi = topk_masked_bisect(r, 256)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+
+
+def test_bisect_all_fillers_and_subnormal_edge():
+    # All -1.0 fillers: both return -1.0 values (invalid downstream).
+    r = jnp.full((512,), -1.0, jnp.float32)
+    ev, ei = jax.lax.top_k(r, 64)
+    bv, bi = topk_masked_bisect(r, 64)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+    # Zeros and tiny NORMAL positives stay ordered above fillers
+    # (subnormals are outside the documented domain: XLA's sort
+    # comparator flushes them, and decode candidates are always
+    # >= conf_threshold anyway).
+    r = jnp.asarray([0.0, 2e-38, -1.0, 1.5e-38, 0.0, -1.0], jnp.float32)
+    ev, ei = jax.lax.top_k(r, 4)
+    bv, bi = topk_masked_bisect(r, 4)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+
+
+def test_decode_topk_bisect_end_to_end():
+    # Full decode on random head outputs: bisect == sort exactly.
+    from posebyte_tpu.core.config import DetectorConfig
+    from posebyte_tpu.ops.decode import decode_topk
+
+    cfg = DetectorConfig()
+    rng = np.random.default_rng(7)
+    A = cfg.num_anchors
+    box = jnp.asarray(rng.normal(0, 1, (A, 64)).astype(np.float32))
+    cls = jnp.asarray(rng.normal(-2, 2, (A, 1)).astype(np.float32))
+    kpt = jnp.asarray(rng.normal(0, 1, (A, 51)).astype(np.float32))
+    a = decode_topk(box, cls, kpt, cfg.conf_threshold,
+                    cfg.max_candidates, cfg.input_size, topk_impl="sort")
+    b = decode_topk(box, cls, kpt, cfg.conf_threshold,
+                    cfg.max_candidates, cfg.input_size,
+                    topk_impl="bisect")
+    for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_topk_confidence_dispatch():
+    r = _ranked(np.random.default_rng(0), 512, 0.5)
+    for impl in ("sort", "bisect", "approx"):
+        v, i = topk_confidence(r, 32, impl)
+        assert v.shape == (32,) and i.shape == (32,)
+    with pytest.raises(ValueError):
+        topk_confidence(r, 32, "nope")
