@@ -45,9 +45,10 @@ def main():
     config = PipelineConfig(
         detector=DetectorConfig(
             input_size=640, num_anchors=8400,
-            # A/B knob for the candidate-ranking lowering (ops/topk.py):
-            # sort (default) | bisect | approx.
-            topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort")),
+            # A/B knobs for the decode lowering (ops/topk.py,
+            # ops/decode.py): sort|bisect|approx and index|onehot.
+            topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
+            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "index")),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",

@@ -92,6 +92,9 @@ class DetectorConfig:
     # "bisect" = exact radix-select (bit-identical), "approx" =
     # lax.approx_max_k (TPU PartialReduce; opt-in, approximate).
     topk_impl: str = "sort"
+    # Candidate-row extraction (ops/decode.py): "index" = XLA gathers,
+    # "onehot" = MXU one-hot selection matmuls (bit-identical outputs).
+    gather_impl: str = "index"
 
 
 @dataclasses.dataclass(frozen=True)

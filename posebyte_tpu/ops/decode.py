@@ -65,11 +65,13 @@ def decode_yolo_output_batch(raw: jnp.ndarray, conf_threshold: float,
 
 
 @functools.partial(jax.jit, static_argnames=("max_candidates",
-                                             "input_size", "topk_impl"))
+                                             "input_size", "topk_impl",
+                                             "gather_impl"))
 def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
                 kpt_raw: jnp.ndarray, conf_threshold: float,
                 max_candidates: int, input_size: int,
-                topk_impl: str = "sort") -> Detections:
+                topk_impl: str = "sort",
+                gather_impl: str = "index") -> Detections:
     """Sparse decode: select top-K anchors on confidence FIRST, then run
     the DFL softmax and keypoint decode only for those K.
 
@@ -82,6 +84,20 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
     `topk_impl` selects the candidate-ranking lowering (ops/topk.py):
     "sort" (lax.top_k) and "bisect" (radix-select) are bit-identical;
     "approx" (lax.approx_max_k) is opt-in and approximate.
+
+    `gather_impl` selects the candidate-row extraction: "index" uses
+    XLA gathers; "onehot" replaces them with one-hot selection matmuls
+    on the MXU (the megakernel's scatter-free idiom). Final Detections
+    are bit-identical between the two for normal-range head outputs:
+    one-hot entries are exactly 0/1 under Precision.HIGHEST, and where
+    the MXU flushes a subnormal payload entry the downstream consumers
+    round it to the same result (exp(x)==1.0 and sigmoid(x)==0.5 in
+    f32 for |x| < 2^-126; sub-threshold conf slots are zeroed by the
+    `valid` mask). Sole exception: a subnormal keypoint-xy logit on a
+    candidate whose anchor sits at grid offset exactly 0.5 (the corner
+    cell) shifts that keypoint by < 2e-38 px — physically impossible
+    output of a trained conv, noted for the fidelity contract
+    (tests/test_topk.py).
     """
     from ..models.yolo_pose import REG_MAX, make_anchors
     from .topk import topk_confidence
@@ -95,10 +111,33 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
     valid = top_conf > 0.0
 
     anchors_np, strides_np = make_anchors(input_size)
-    anchors = jnp.asarray(anchors_np)[top_idx]            # [K, 2]
-    strides = jnp.asarray(strides_np)[top_idx]            # [K]
+    if gather_impl == "onehot":
+        onehot = top_idx[:, None] == jnp.arange(A, dtype=jnp.int32)
 
-    bl = box_logits[top_idx].astype(jnp.float32)          # [K, 64]
+        def og(payload):                                  # [A,C]->[K,C]
+            return jax.lax.dot_general(
+                onehot.astype(payload.dtype), payload,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        asc = og(jnp.concatenate(
+            [jnp.asarray(anchors_np, jnp.float32),
+             jnp.asarray(strides_np, jnp.float32)[:, None],
+             conf[:, None]], axis=1))                     # [K, 4]
+        anchors, strides, conf_sel = asc[:, :2], asc[:, 2], asc[:, 3]
+        bl = og(box_logits)                               # [K, 64] f32
+        kpt_sel = og(kpt_raw)                             # [K, 51] f32
+    elif gather_impl == "index":
+        anchors = jnp.asarray(anchors_np)[top_idx]        # [K, 2]
+        strides = jnp.asarray(strides_np)[top_idx]        # [K]
+        conf_sel = conf[top_idx]
+        bl = box_logits[top_idx].astype(jnp.float32)      # [K, 64]
+        kpt_sel = kpt_raw[top_idx].astype(jnp.float32)    # [K, 51]
+    else:
+        raise ValueError(f"unknown gather_impl {gather_impl!r} "
+                         "(expected index|onehot)")
+
     prob = jax.nn.softmax(bl.reshape(k, 4, REG_MAX), axis=-1)
     d = jnp.einsum("kfr,r->kf", prob,
                    jnp.arange(REG_MAX, dtype=jnp.float32),
@@ -108,15 +147,14 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
     x2y2 = (anchors + rb) * strides[:, None]
     boxes = jnp.concatenate([x1y1, x2y2], axis=-1)        # [K,4] xyxy
 
-    k3 = kpt_raw[top_idx].reshape(k, C.NUM_KEYPOINTS, 3) \
-        .astype(jnp.float32)
+    k3 = kpt_sel.reshape(k, C.NUM_KEYPOINTS, 3)
     kxy = (k3[..., :2] * 2.0 + (anchors[:, None, :] - 0.5)) \
         * strides[:, None, None]
     kconf = jax.nn.sigmoid(k3[..., 2:3])
     poses = jnp.concatenate([kxy, kconf], axis=-1)        # [K,17,3]
 
     z = valid[:, None]
-    scores = jnp.where(valid, conf[top_idx], 0.0)
+    scores = jnp.where(valid, conf_sel, 0.0)
     return Detections(
         poses=jnp.where(z[..., None], poses, 0.0),
         boxes=jnp.where(z, boxes, 0.0),

@@ -49,7 +49,8 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     box, cls, kpt = heads_fn(params, img[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size,
-                      topk_impl=det_cfg.topk_impl)
+                      topk_impl=det_cfg.topk_impl,
+                      gather_impl=det_cfg.gather_impl)
     det = pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                    det_cfg.max_detections, presorted=True)
     emb = None
@@ -161,7 +162,8 @@ class MultiStreamChunkPipeline:
                 det = _decode_topk(b, c, k, det_cfg.conf_threshold,
                                    det_cfg.max_candidates,
                                    det_cfg.input_size,
-                                   topk_impl=det_cfg.topk_impl)
+                                   topk_impl=det_cfg.topk_impl,
+                                   gather_impl=det_cfg.gather_impl)
                 return _pose_nms(det, det_cfg.iou_threshold,
                                  det_cfg.oks_threshold,
                                  det_cfg.max_detections, presorted=True)

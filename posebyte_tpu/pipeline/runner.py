@@ -46,7 +46,8 @@ def detect_fn(params, image_hwc, det_cfg: DetectorConfig, heads_fn):
     box, cls, kpt = heads_fn(params, image_hwc[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size,
-                      topk_impl=det_cfg.topk_impl)
+                      topk_impl=det_cfg.topk_impl,
+                      gather_impl=det_cfg.gather_impl)
     return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                     det_cfg.max_detections, presorted=True)
 
@@ -173,7 +174,8 @@ class PosePipeline:
                 det = decode_topk(b, c, k, det_cfg.conf_threshold,
                                   det_cfg.max_candidates,
                                   det_cfg.input_size,
-                                  topk_impl=det_cfg.topk_impl)
+                                  topk_impl=det_cfg.topk_impl,
+                                  gather_impl=det_cfg.gather_impl)
                 return pose_nms(det, det_cfg.iou_threshold,
                                 det_cfg.oks_threshold,
                                 det_cfg.max_detections, presorted=True)

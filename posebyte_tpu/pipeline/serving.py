@@ -82,7 +82,8 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
     def decode_one(b, c, k):
         det = decode_topk(b, c, k, det_cfg.conf_threshold,
                           det_cfg.max_candidates, det_cfg.input_size,
-                          topk_impl=det_cfg.topk_impl)
+                          topk_impl=det_cfg.topk_impl,
+                          gather_impl=det_cfg.gather_impl)
         return pose_nms(det, det_cfg.iou_threshold,
                         det_cfg.oks_threshold, det_cfg.max_detections,
                         presorted=True)

@@ -173,7 +173,8 @@ def profile_frame_phases(pipe, frame_h: int, frame_w: int,
         box, cls, kpt = heads_fn(params, img[None])
         d = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                         det_cfg.max_candidates, S,
-                        topk_impl=det_cfg.topk_impl)
+                        topk_impl=det_cfg.topk_impl,
+                        gather_impl=det_cfg.gather_impl)
         return pose_nms(d, det_cfg.iou_threshold, det_cfg.oks_threshold,
                         det_cfg.max_detections)
 

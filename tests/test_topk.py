@@ -84,6 +84,48 @@ def test_decode_topk_bisect_end_to_end():
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_decode_gather_onehot_end_to_end(dtype):
+    # One-hot MXU gathers == XLA index gathers, bit-identical final
+    # Detections, for both head dtypes (bf16 is the production path).
+    from posebyte_tpu.core.config import DetectorConfig
+    from posebyte_tpu.ops.decode import decode_topk
+
+    cfg = DetectorConfig()
+    rng = np.random.default_rng(11)
+    A = cfg.num_anchors
+    dt = jnp.dtype(dtype)
+    box = jnp.asarray(rng.normal(0, 1, (A, 64)).astype(np.float32)) \
+        .astype(dt)
+    cls = jnp.asarray(rng.normal(-2, 2, (A, 1)).astype(np.float32)) \
+        .astype(dt)
+    kptn = rng.normal(0, 1, (A, 51)).astype(np.float32)
+    # inject subnormal magnitudes: consumers must round them exactly
+    # like the MXU flush does (decode_topk docstring argument)
+    kptn[::97] = 1e-40
+    kpt = jnp.asarray(kptn).astype(dt)
+    a = decode_topk(box, cls, kpt, cfg.conf_threshold,
+                    cfg.max_candidates, cfg.input_size,
+                    gather_impl="index")
+    b = decode_topk(box, cls, kpt, cfg.conf_threshold,
+                    cfg.max_candidates, cfg.input_size,
+                    gather_impl="onehot")
+    for fa, fb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_decode_gather_impl_validation():
+    from posebyte_tpu.core.config import DetectorConfig
+    from posebyte_tpu.ops.decode import decode_topk
+
+    cfg = DetectorConfig()
+    z = jnp.zeros((cfg.num_anchors, 64))
+    with pytest.raises(ValueError):
+        decode_topk(z, jnp.zeros((cfg.num_anchors, 1)),
+                    jnp.zeros((cfg.num_anchors, 51)), 0.25, 16,
+                    cfg.input_size, gather_impl="bogus")
+
+
 def test_topk_confidence_dispatch():
     r = _ranked(np.random.default_rng(0), 512, 0.5)
     for impl in ("sort", "bisect", "approx"):
