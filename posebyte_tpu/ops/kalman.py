@@ -21,6 +21,7 @@ jit-safe (no data-dependent control flow).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import constants as C
 from ..core.structs import KalmanState136
@@ -93,9 +94,10 @@ def cv_update(poses: jnp.ndarray, velocities: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 # Per-order process noise stddevs (reference: kalman_filter.cu:152-163)
-_ORDER_NOISE = jnp.repeat(
-    jnp.asarray([1.0, 0.5, 0.1, 0.05], jnp.float32), 2)     # [8]
-_PROCESS_NOISE_DIAG = jnp.tile(_ORDER_NOISE ** 2, (C.NUM_KEYPOINTS,))  # [136]
+# numpy on purpose — no backend init at import (see ops/oks.py note)
+_ORDER_NOISE = np.repeat(
+    np.asarray([1.0, 0.5, 0.1, 0.05], np.float32), 2)       # [8]
+_PROCESS_NOISE_DIAG = np.tile(_ORDER_NOISE ** 2, (C.NUM_KEYPOINTS,))  # [136]
 
 
 def _split(mean: jnp.ndarray):

@@ -30,12 +30,14 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import constants as C
 from ..core.structs import Detections
 from .geometry import boxes_iou_matrix
 
-_SIGMAS = jnp.asarray(C.COCO_SIGMAS)
+# numpy on purpose — no backend init at import (see ops/oks.py note)
+_SIGMAS = np.asarray(C.COCO_SIGMAS, np.float32)
 
 
 def nms_overlap_matrix(det: Detections, iou_threshold: float,

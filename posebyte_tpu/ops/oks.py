@@ -22,7 +22,11 @@ import numpy as np
 
 from ..core import constants as C
 
-_SIGMAS = jnp.asarray(C.COCO_SIGMAS)
+# numpy (not jnp) on purpose: a module-level jnp.asarray initializes
+# the device backend at import time (which dials the TPU relay before
+# any user code runs); a float32 numpy constant folds identically
+# under jit.
+_SIGMAS = np.asarray(C.COCO_SIGMAS, np.float32)
 _TORSO = np.asarray(C.TORSO_KEYPOINTS)
 
 

@@ -12,6 +12,16 @@ cv2 = pytest.importorskip("cv2")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_env():
+    """Subprocess env that is hermetically CPU: JAX_PLATFORMS=cpu alone
+    is NOT enough (sitecustomize registers the tunneled-TPU backend and
+    pins the platform whenever PALLAS_AXON_POOL_IPS is set, and a dead
+    relay then hangs the child forever) — drop the trigger variable."""
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
 @pytest.fixture(scope="module")
 def test_video(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
@@ -20,7 +30,7 @@ def test_video(tmp_path_factory):
          "--out", path, "--frames", "12", "--size", "320x240",
          "--persons", "2"],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=_cpu_env())
     assert r.returncode == 0, r.stderr
     return path
 
@@ -80,7 +90,7 @@ def test_evaluate_cli_smoke(tmp_path, capsys):
          "--out", video, "--frames", "8", "--size", "320x240",
          "--persons", "2", "--gt", gt],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=_cpu_env())
     assert r.returncode == 0, r.stderr
 
     from posebyte_tpu.cli.evaluate import main as eval_main
@@ -104,7 +114,7 @@ def test_prefetch_reader_matches_plain(tmp_path):
         [sys.executable, os.path.join(root, "scripts/make_test_video.py"),
          "--out", video, "--frames", "12", "--size", "160x120"],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=_cpu_env())
     assert r.returncode == 0, r.stderr
 
     from posebyte_tpu.utils.video import PrefetchVideoReader, VideoReader
@@ -128,7 +138,7 @@ def test_evaluate_cli_chunked_matches_per_frame(tmp_path, capsys):
          "--out", video, "--frames", "6", "--size", "320x240",
          "--persons", "2", "--gt", gt],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        env=_cpu_env())
     assert r.returncode == 0, r.stderr
 
     from posebyte_tpu.cli.evaluate import main as eval_main
