@@ -45,7 +45,10 @@ def main():
 
     K, H, W = args.chunk, 720, 1280
     config = PipelineConfig(
-        detector=DetectorConfig(input_size=640, num_anchors=8400),
+        detector=DetectorConfig(
+            input_size=640, num_anchors=8400,
+            topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
+            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "index")),
         tracker=TrackerConfig(), model_name=args.model, precision="bf16")
     pipe = PosePipeline(config)
     det_cfg, trk_cfg = config.detector, config.tracker
@@ -65,7 +68,9 @@ def main():
 
     def _dec(b, c, k):
         d = decode_topk(b, c, k, det_cfg.conf_threshold,
-                        det_cfg.max_candidates, S)
+                        det_cfg.max_candidates, S,
+                        topk_impl=det_cfg.topk_impl,
+                        gather_impl=det_cfg.gather_impl)
         return pose_nms(d, det_cfg.iou_threshold, det_cfg.oks_threshold,
                         det_cfg.max_detections, presorted=True)
 

@@ -114,6 +114,36 @@ def test_decode_gather_onehot_end_to_end(dtype):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_decode_variants_vmapped_chunk():
+    # The production chunk path vmaps decode over frames; all exact
+    # variant combinations must agree elementwise under vmap.
+    from posebyte_tpu.core.config import DetectorConfig
+    from posebyte_tpu.ops.decode import decode_topk
+
+    cfg = DetectorConfig(num_anchors=1344, input_size=256)
+    rng = np.random.default_rng(3)
+    K, A = 4, cfg.num_anchors
+    box = jnp.asarray(rng.normal(0, 1, (K, A, 64)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    cls = jnp.asarray(rng.normal(-2, 2, (K, A, 1)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+    kpt = jnp.asarray(rng.normal(0, 1, (K, A, 51)).astype(np.float32)) \
+        .astype(jnp.bfloat16)
+
+    def run(ti, gi):
+        return jax.vmap(lambda b, c, k: decode_topk(
+            b, c, k, cfg.conf_threshold, cfg.max_candidates,
+            cfg.input_size, topk_impl=ti, gather_impl=gi))(box, cls, kpt)
+
+    ref = run("sort", "index")
+    for ti in ("sort", "bisect"):
+        for gi in ("index", "onehot"):
+            got = run(ti, gi)
+            for fa, fb in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+                np.testing.assert_array_equal(np.asarray(fa),
+                                              np.asarray(fb))
+
+
 def test_decode_gather_impl_validation():
     from posebyte_tpu.core.config import DetectorConfig
     from posebyte_tpu.ops.decode import decode_topk
