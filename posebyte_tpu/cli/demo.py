@@ -69,6 +69,15 @@ def build_parser():
                         " --resume-state; preserves track identities)")
     p.add_argument("--resume-state", default="",
                    help="resume from a tracker-state checkpoint")
+    p.add_argument("--topk-impl", default="sort",
+                   choices=["sort", "bisect", "approx"],
+                   help="decode candidate-ranking lowering (ops/topk.py;"
+                        " sort and bisect are bit-identical, approx is"
+                        " the TPU PartialReduce op)")
+    p.add_argument("--gather-impl", default="index",
+                   choices=["index", "onehot"],
+                   help="decode candidate-row extraction (XLA gathers"
+                        " vs one-hot MXU matmuls; bit-identical)")
     p.add_argument("--timing", action="store_true",
                    help="print a preprocess/detect/track timing "
                         "breakdown after the run (diagnostic phase "
@@ -123,7 +132,9 @@ def main(argv=None):
         detector=DetectorConfig(conf_threshold=args.conf,
                                 iou_threshold=args.nms,
                                 input_size=args.size,
-                                num_anchors=num_anchors),
+                                num_anchors=num_anchors,
+                                topk_impl=args.topk_impl,
+                                gather_impl=args.gather_impl),
         tracker=tracker_cfg,
         model_name=model_name,
         precision=args.precision,

@@ -58,6 +58,16 @@ def test_demo_cli_end_to_end(test_video, tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_demo_cli_decode_variant_flags(test_video, tmp_path):
+    from posebyte_tpu.cli.demo import main
+    out = str(tmp_path / "tracked_bisect.mp4")
+    rc = main(["-e", "yolov8n-pose", "-i", test_video, "-o", out,
+               "-c", "0.30", "--precision", "fp32",
+               "--topk-impl", "bisect", "--gather-impl", "onehot"])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_demo_cli_chunked(test_video, tmp_path):
     from posebyte_tpu.cli.demo import main
     out = str(tmp_path / "tracked_chunk.mp4")
