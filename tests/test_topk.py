@@ -156,6 +156,37 @@ def test_decode_gather_impl_validation():
                     cfg.input_size, gather_impl="bogus")
 
 
+def test_pipeline_chunk_identical_under_decode_variants():
+    # Full production chunk path (letterbox -> forward -> decode -> NMS
+    # -> fused tracker) must produce identical tracking outputs with
+    # the alternative decode lowerings — the pre-flip contract for
+    # making bisect/onehot the default.
+    import dataclasses
+
+    from posebyte_tpu.core.config import (DetectorConfig, PipelineConfig,
+                                          TrackerConfig)
+    from posebyte_tpu.pipeline import PosePipeline
+
+    base = PipelineConfig(
+        detector=DetectorConfig(input_size=192, num_anchors=756,
+                                max_candidates=32, max_detections=8),
+        tracker=TrackerConfig(max_tracks=16, max_detections=8),
+        model_name="yolov8n-pose", precision="fp32")
+    variant = dataclasses.replace(
+        base, detector=dataclasses.replace(
+            base.detector, topk_impl="bisect", gather_impl="onehot"))
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (4, 120, 160, 3), dtype=np.uint8)
+    pa = PosePipeline(base, seed=3)
+    pb = PosePipeline(variant, seed=3)
+    oa = pa.process_chunk(frames)
+    ob = pb.process_chunk(frames)
+    for ka in sorted(oa.keys()):
+        np.testing.assert_array_equal(np.asarray(oa[ka]),
+                                      np.asarray(ob[ka]), err_msg=ka)
+
+
 def test_topk_confidence_dispatch():
     r = _ranked(np.random.default_rng(0), 512, 0.5)
     for impl in ("sort", "bisect", "approx"):
