@@ -112,14 +112,11 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
 
     anchors_np, strides_np = make_anchors(input_size)
     if gather_impl == "onehot":
+        from .topk import onehot_select
         onehot = top_idx[:, None] == jnp.arange(A, dtype=jnp.int32)
 
         def og(payload):                                  # [A,C]->[K,C]
-            return jax.lax.dot_general(
-                onehot.astype(payload.dtype), payload,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+            return onehot_select(onehot, payload)
 
         asc = og(jnp.concatenate(
             [jnp.asarray(anchors_np, jnp.float32),

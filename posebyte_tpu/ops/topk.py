@@ -15,14 +15,17 @@ sort-free exact alternative shaped for the hardware:
 3. a k-element two-key sort (k=256 vs A=8400) produces the exact
    (score-descending, index-ascending) order `lax.top_k` defines.
 
-The radix key mapping assumes the decode domain: every entry is
-either exactly -1.0 (masked filler, ops/decode.py:86) or a
-non-negative finite NORMAL float or zero (a sigmoid output; decode
-candidates are >= conf_threshold, and XLA's sort comparator flushes
-subnormals, so subnormal inputs — impossible in decode — are not
-order-distinguished).  On that domain the result is bit-identical to
-`lax.top_k` including tie-breaks; a property test asserts this
-against lax.top_k with adversarial ties (tests/test_topk.py).
+The radix key mapping assumes the decode domain: every NEGATIVE
+entry is the same masked filler value (decode_topk uses exactly -1.0
+in `ranked = jnp.where(passing, conf, -1.0)`); non-negative entries
+may be any finite float including -0.0/+0.0 and subnormals (all
+comparisons ride an integer total-order key, never a float
+comparator).  On that domain the result is bit-identical to
+`lax.top_k` — including stable tie-breaks and top_k's bit-level
+-0.0 < +0.0 ordering; a property test asserts this against lax.top_k
+with adversarial ties (tests/test_topk.py).  Distinct negative
+values would tie-collapse to index order, which is why the domain
+requires a single filler value.
 
 `topk_impl` selects the implementation end-to-end
 (core/config.DetectorConfig.topk_impl):
@@ -39,23 +42,45 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def onehot_select(onehot_bool: jnp.ndarray, payload: jnp.ndarray):
+    """Exact one-hot selection matmul: bool [K, A] x [A, C] -> f32 [K, C].
+
+    The shared scatter/gather-free idiom (also used by the tracker
+    megakernel): entries are exactly 0/1 in any float dtype and each
+    output element sums exactly one payload entry, so with
+    Precision.HIGHEST and f32 accumulation the result is the selected
+    payload value widened to f32 — except that the MXU flushes
+    subnormal payload entries (callers own that caveat; see
+    decode_topk's docstring for decode's rounding argument)."""
+    return lax.dot_general(
+        onehot_bool.astype(payload.dtype), payload,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 def topk_masked_bisect(ranked: jnp.ndarray, k: int):
-    """Exact `lax.top_k(ranked, k)` for 1-D `ranked` whose entries are
-    either exactly -1.0 or non-negative finite floats.
+    """Exact `lax.top_k(ranked, k)` for 1-D `ranked` whose negative
+    entries (if any) all equal one filler value; non-negative entries
+    are arbitrary finite floats.
 
     Returns (values, indices) bit-identical to lax.top_k (descending
-    values; ties broken toward the lower index).
+    in top_k's bit-level total order; ties broken toward the lower
+    index).
     """
     A = ranked.shape[-1]
     if k >= A:
         return lax.top_k(ranked, k)     # degenerate; nothing to save
     r32 = ranked.astype(jnp.float32)
 
-    # Order-preserving non-negative int32 key on the decode domain:
-    # -1.0 -> 0; x >= 0 -> bits(x) + 1 (IEEE-754 bit patterns of
-    # non-negative floats are monotone in the value).
+    # Order-preserving non-negative int32 key matching lax.top_k's
+    # bit-level TOTAL order (under which -0.0 < +0.0 strictly):
+    # negative non-zero (the -1.0 filler) -> 0; -0.0 -> 1;
+    # x >= +0.0 -> bits(x) + 2 (IEEE-754 bit patterns of non-negative
+    # floats are monotone in the value; max finite bits + 2 < 2^31).
     bits = lax.bitcast_convert_type(r32, jnp.int32)
-    key = jnp.where(r32 < 0, jnp.int32(0), bits + 1)          # [A]
+    key = jnp.where(bits >= 0, bits + 2,
+                    jnp.where(r32 == 0, jnp.int32(1), jnp.int32(0)))
 
     # MSB radix-select: p ends as the largest key value t with
     # count(key >= t) >= k, i.e. exactly the k-th largest key.
@@ -75,27 +100,23 @@ def topk_masked_bisect(ranked: jnp.ndarray, k: int):
     eq_rank = jnp.cumsum(equal.astype(jnp.int32))             # 1-based
     sel = greater | (equal & (eq_rank <= (k - m)))
 
-    # Compact the k selected lanes in index order with a one-hot
-    # selection matmul (scatter-free). Only the INDICES ride the
-    # matmul: one-hot entries are 0/1 and indices < 2^24, so
-    # HIGHEST-precision accumulation is exact and no operand is ever
-    # subnormal (the MXU flushes subnormals — values are recovered by
-    # an exact k-element gather instead).
+    # Compact the k selected lanes in index order via onehot_select.
+    # Only the INDICES ride the matmul: indices < 2^24 are exact in
+    # f32 and never subnormal; values are recovered by an exact
+    # k-element gather instead.
     pos = jnp.cumsum(sel.astype(jnp.int32)) - 1               # [A]
-    onehot = (sel[:, None]
-              & (pos[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]))
-    idx_f = lax.dot_general(
-        onehot.astype(jnp.float32),
-        jnp.arange(A, dtype=jnp.float32)[:, None],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST)                      # [k, 1]
+    onehot = (sel[None, :]
+              & (jnp.arange(k, dtype=jnp.int32)[:, None] == pos[None, :]))
+    idx_f = onehot_select(
+        onehot, jnp.arange(A, dtype=jnp.float32)[:, None])    # [k, 1]
     idx_io = idx_f[:, 0].astype(jnp.int32)
     vals_io = r32[idx_io]
 
-    # Exact output order: descending value, ascending index on ties —
-    # a k-element two-key sort (cheap: k << A).
+    # Exact output order: descending TOTAL-ORDER key (so -0.0 sorts
+    # after +0.0, as lax.top_k's bit-level comparator does), ascending
+    # index on ties — a k-element two-key sort (cheap: k << A).
     neg, idx_sorted, vals_sorted = lax.sort(
-        (-vals_io, idx_io, vals_io), num_keys=2)
+        (-key[idx_io], idx_io, vals_io), num_keys=2)
     del neg
     return vals_sorted.astype(ranked.dtype), idx_sorted
 

@@ -53,11 +53,19 @@ def test_bisect_all_fillers_and_subnormal_edge():
     bv, bi = topk_masked_bisect(r, 64)
     np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
-    # Zeros and tiny NORMAL positives stay ordered above fillers
-    # (subnormals are outside the documented domain: XLA's sort
-    # comparator flushes them, and decode candidates are always
-    # >= conf_threshold anyway).
-    r = jnp.asarray([0.0, 2e-38, -1.0, 1.5e-38, 0.0, -1.0], jnp.float32)
+    # Zeros, subnormals, and tiny normal positives: all comparisons
+    # ride the integer total-order key, so even subnormal magnitudes
+    # (which float comparators may flush) order exactly as top_k's
+    # bit-level comparator does.
+    r = jnp.asarray([0.0, 2e-38, -1.0, 1.5e-38, 0.0, -1.0, 1e-39,
+                     5e-39], jnp.float32)
+    ev, ei = jax.lax.top_k(r, 4)
+    bv, bi = topk_masked_bisect(r, 4)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(bi))
+    # -0.0 ties with +0.0 (not with the fillers): the key mapping must
+    # unify zeros before the sign test, since bits(-0.0) is negative.
+    r = jnp.asarray([0.5, -0.0, -1.0, 0.25, 0.0], jnp.float32)
     ev, ei = jax.lax.top_k(r, 4)
     bv, bi = topk_masked_bisect(r, 4)
     np.testing.assert_array_equal(np.asarray(ev), np.asarray(bv))
@@ -100,8 +108,10 @@ def test_decode_gather_onehot_end_to_end(dtype):
     cls = jnp.asarray(rng.normal(-2, 2, (A, 1)).astype(np.float32)) \
         .astype(dt)
     kptn = rng.normal(0, 1, (A, 51)).astype(np.float32)
-    # inject subnormal magnitudes: consumers must round them exactly
-    # like the MXU flush does (decode_topk docstring argument)
+    # Inject subnormal magnitudes. NOTE: on CPU (where this suite
+    # runs) the one-hot matmul preserves subnormals, so this only
+    # checks the plumbing; the MXU-flush rounding argument in
+    # decode_topk's docstring is analytic, not exercised here.
     kptn[::97] = 1e-40
     kpt = jnp.asarray(kptn).astype(dt)
     a = decode_topk(box, cls, kpt, cfg.conf_threshold,
