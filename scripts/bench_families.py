@@ -70,7 +70,12 @@ def main():
     rows = []
     for name, precision in [(n, pr) for n in names for pr in precisions]:
         config = PipelineConfig(
-            detector=DetectorConfig(input_size=640, num_anchors=8400),
+            detector=DetectorConfig(
+                input_size=640, num_anchors=8400,
+                topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL",
+                                         "sort"),
+                gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL",
+                                           "index")),
             tracker=TrackerConfig(), model_name=name,
             precision=precision)
         pipe = PosePipeline(config)
