@@ -69,6 +69,26 @@ def main():
     # throughput variant: from posebyte_tpu.pipeline import \
     #     ChunkedStreamServer  (chunk=K frames per stream per dispatch)
 
+    # -- 4. TCP serving front-end ----------------------------------------
+    # Any StreamServer/ChunkedStreamServer can be served over a socket
+    # (stdlib binary protocol, per-stream queue bounds with BUSY
+    # backpressure; outputs arrive in frame pixel coordinates).
+    from posebyte_tpu.pipeline.frontend import (PoseClient,
+                                                PoseServingFrontend)
+    front = PoseServingFrontend(
+        StreamServer(num_streams=2, frame_shape=(240, 320),
+                     config=config),
+        auto_step=False)                 # default True: background loop
+    client = PoseClient(*front.address)
+    sid = client.open_stream()
+    client.send_frame(sid, frames[0])
+    front.step_once()                    # explicit dispatch (auto_step=False)
+    print(f"tcp front-end: {len(client.poll(sid))} tracks, "
+          f"stats {client.stats()}")
+    client.close_stream(sid)
+    client.close()
+    front.close()
+
 
 if __name__ == "__main__":
     main()
