@@ -277,6 +277,11 @@ def main():
     p.add_argument("--out", default="")
     p.add_argument("--resume", default="",
                    help="existing checkpoint to continue from")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel over N mesh devices (0 = single"
+                        "-device; batch must divide by N). Each device"
+                        " samples batch/N rows from its dataset shard;"
+                        " grads pmean over ICI (parallel/train.py)")
     args = p.parse_args()
     out = args.out or (f"assets/{args.model}-synthetic{args.size}"
                        ".safetensors")
@@ -314,9 +319,23 @@ def main():
                             optax.adamw(sched, weight_decay=1e-5))
     opt_state = optimizer.init(params)
 
-    run = jax.jit(make_scan_train(args.model, args.size, optimizer,
-                                  args.batch))
-    data_dev = {k: jnp.asarray(v) for k, v in train.items()}
+    if args.dp:
+        if args.batch % args.dp:
+            raise SystemExit(f"--batch {args.batch} must divide by "
+                             f"--dp {args.dp}")
+        from posebyte_tpu.parallel.train import (make_data_mesh,
+                                                 make_dp_scan_train,
+                                                 shard_dataset)
+        mesh = make_data_mesh(args.dp)
+        run = make_dp_scan_train(args.model, args.size, optimizer,
+                                 args.batch // args.dp, mesh)
+        data_dev = shard_dataset(train, mesh)
+        print(f"data-parallel over {args.dp} devices "
+              f"({args.batch // args.dp}/device)", flush=True)
+    else:
+        run = jax.jit(make_scan_train(args.model, args.size, optimizer,
+                                      args.batch))
+        data_dev = {k: jnp.asarray(v) for k, v in train.items()}
 
     key = jax.random.PRNGKey(args.seed + 1)
     done = 0
