@@ -18,9 +18,9 @@ import jax
 import numpy as np
 import pytest
 
-def _asset(size):
+def _asset(size, model="yolov8n-pose"):
     return os.path.join(os.path.dirname(__file__), "..", "assets",
-                        f"yolov8n-pose-synthetic{size}.safetensors")
+                        f"{model}-synthetic{size}.safetensors")
 
 
 ASSET = _asset(256)
@@ -29,15 +29,23 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(ASSET),
     reason="trained synthetic checkpoint not present")
 
-# The curriculum covers both the reduced 256 input and the reference's
-# native 640 (DetectorConfig default; yolo_pose_engine.cpp input dims).
-# Each entry skips independently so a missing 640 checkpoint degrades
-# to the 256-only round-2 behavior.
-SIZES = [
-    pytest.param(256, id="s256"),
-    pytest.param(640, id="s640", marks=pytest.mark.skipif(
-        not os.path.exists(_asset(640)),
-        reason="640 synthetic checkpoint not present")),
+
+def _case(model, size, n_frames, id):
+    return pytest.param(model, size, n_frames, id=id,
+                        marks=pytest.mark.skipif(
+                            not os.path.exists(_asset(size, model)),
+                            reason=f"{model}@{size} checkpoint absent"))
+
+
+# The curriculum covers the reduced 256 input, the reference's native
+# 640 (DetectorConfig default; yolo_pose_engine.cpp input dims), and a
+# second model scale (yolov8s). Each entry skips independently so a
+# missing checkpoint degrades gracefully. Clip lengths shrink with
+# forward cost to keep the CPU suite bounded.
+CASES = [
+    _case("yolov8n-pose", 256, 48, "n256"),
+    _case("yolov8n-pose", 640, 24, "n640"),
+    _case("yolov8s-pose", 640, 12, "s640"),
 ]
 
 S = 256
@@ -45,10 +53,10 @@ W, H = 640, 360
 SEED = 424242
 
 
-def _load(size=256):
+def _load(size=256, model="yolov8n-pose"):
     from posebyte_tpu.models.weights import load_params
-    params, name = load_params(_asset(size))
-    assert name == "yolov8n-pose"
+    params, name = load_params(_asset(size, model))
+    assert name == model
     return params, name
 
 
@@ -77,16 +85,15 @@ def _pipeline(params, name, conf=0.30, S=S):
     return PosePipeline(config, params=params)
 
 
-@pytest.mark.parametrize("size", SIZES)
-def test_trained_network_tracks_people_from_pixels(size):
+@pytest.mark.parametrize("model,size,n_frames", CASES)
+def test_trained_network_tracks_people_from_pixels(model, size, n_frames):
     """Detection OKS-mAP >= 0.8 and MOTA >= 0.8 on a held-out rendered
     clip, real weights, no detector bypass anywhere."""
     from posebyte_tpu.utils.evaluation import (TrackingEvaluator,
                                                keypoint_map)
-    params, name = _load(size)
+    params, name = _load(size, model)
     pipe = _pipeline(params, name, S=size)
-    # 640 forward is ~6x the 256 FLOPs on the CPU suite: shorter clip
-    frames, gts = _clip(48 if size == 256 else 24)
+    frames, gts = _clip(n_frames)
 
     ev = TrackingEvaluator(oks_threshold=0.5)
     det_gt, det_pred, det_scores = [], [], []
