@@ -314,6 +314,8 @@ def main():
                  "stream/resident p50s likewise"),
         "device": str(jax.devices()[0]),
         "precision": "bf16",
+        "topk_impl": config.detector.topk_impl,
+        "gather_impl": config.detector.gather_impl,
     }
     print(json.dumps(result))
 
