@@ -48,7 +48,7 @@ def main():
             # A/B knobs for the decode lowering (ops/topk.py,
             # ops/decode.py): sort|bisect|approx and index|onehot.
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
-            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "index")),
+            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot")),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",

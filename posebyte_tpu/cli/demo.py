@@ -74,7 +74,7 @@ def build_parser():
                    help="decode candidate-ranking lowering (ops/topk.py;"
                         " sort and bisect are bit-identical, approx is"
                         " the TPU PartialReduce op)")
-    p.add_argument("--gather-impl", default="index",
+    p.add_argument("--gather-impl", default="onehot",
                    choices=["index", "onehot"],
                    help="decode candidate-row extraction (XLA gathers"
                         " vs one-hot MXU matmuls; bit-identical)")

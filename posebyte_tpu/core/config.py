@@ -94,7 +94,10 @@ class DetectorConfig:
     topk_impl: str = "sort"
     # Candidate-row extraction (ops/decode.py): "index" = XLA gathers,
     # "onehot" = MXU one-hot selection matmuls (bit-identical outputs).
-    gather_impl: str = "index"
+    # Default "onehot": won the measured matrix (BENCH_DECODE_AB_r03)
+    # and every adjacent pair of the interleaved confirmation
+    # (BENCH_DECODE_AB_CONFIRM_r03: +2.2..+4.7% e2e vs "index").
+    gather_impl: str = "onehot"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -75,7 +75,7 @@ def main():
                 topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL",
                                          "sort"),
                 gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL",
-                                           "index")),
+                                           "onehot")),
             tracker=TrackerConfig(), model_name=name,
             precision=precision)
         pipe = PosePipeline(config)

@@ -48,7 +48,7 @@ def main():
         detector=DetectorConfig(
             input_size=640, num_anchors=8400,
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
-            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "index")),
+            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot")),
         tracker=TrackerConfig(), model_name=args.model, precision="bf16")
     pipe = PosePipeline(config)
     det_cfg, trk_cfg = config.detector, config.tracker
