@@ -100,7 +100,10 @@ class YoloPoseEngine:
             # the weights captured at first trace.
             @jax.jit
             def run(params, frame_flat_u8):
-                img = letterbox_flat(frame_flat_u8, w, h, cfg.input_size)
+                # selection=False: strided-slice letterbox is a batch-1
+                # pessimization (scripts/bench_frame_exec_ab.py)
+                img = letterbox_flat(frame_flat_u8, w, h, cfg.input_size,
+                                     selection=False)
                 raw = apply_fn(params, jnp.transpose(img, (1, 2, 0))[None])
                 det = decode_yolo_output(raw[0], cfg.conf_threshold,
                                          cfg.max_candidates)

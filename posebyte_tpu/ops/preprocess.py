@@ -113,12 +113,13 @@ def _selection_strides(input_width: int, input_height: int, target: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
-                                    "bgr_to_rgb", "out_dtype"))
+                                    "bgr_to_rgb", "out_dtype", "selection"))
 def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
                         input_height: int,
                         target: int = C.DEFAULT_INPUT_SIZE,
                         bgr_to_rgb: bool = True,
-                        out_dtype=jnp.float32) -> jnp.ndarray:
+                        out_dtype=jnp.float32,
+                        selection: bool = True) -> jnp.ndarray:
     """Flat uint8 [H*W*3] frame -> [target, target, 3] HWC float.
 
     The production path: flat-byte H2D, then EITHER a strided slice
@@ -134,8 +135,17 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
     model's own input cast would apply — while halving the materialized
     [target, target, 3] intermediate (pipeline callers pass the model
     compute dtype).
+
+    selection: allow the strided-slice lowering. It wins when the
+    letterbox is vmapped over a chunk (0.057 -> 0.0002 ms/frame at
+    K=128, headline 3514 -> 3719 FPS) but LOSES at batch 1, where the
+    strided uint8 slice lowers to a slow copy: the single-frame fused
+    step measured 4.00 ms with it vs 1.64 ms via the matmul path
+    (scripts/bench_frame_exec_ab.py, v5e). Single-frame callers pass
+    selection=False; both lowerings are bit-identical.
     """
-    sel = _selection_strides(input_width, input_height, target)
+    sel = (_selection_strides(input_width, input_height, target)
+           if selection else None)
     if sel is not None:
         (y0, sy), (x0, sx) = sel
         _, new_w, new_h, pad_x, pad_y = letterbox_params(
@@ -177,14 +187,17 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
-                                    "bgr_to_rgb"))
+                                    "bgr_to_rgb", "selection"))
 def letterbox_flat(frame_flat: jnp.ndarray, input_width: int,
                    input_height: int, target: int = C.DEFAULT_INPUT_SIZE,
-                   bgr_to_rgb: bool = True) -> jnp.ndarray:
+                   bgr_to_rgb: bool = True,
+                   selection: bool = True) -> jnp.ndarray:
     """Flat uint8 [H*W*3] frame -> float32 [3, target, target] CHW
-    (the reference kernel's output layout; preprocess.cu:19-83)."""
+    (the reference kernel's output layout; preprocess.cu:19-83).
+    selection: see letterbox_flat_nhwc (single-frame callers pass
+    False)."""
     out = letterbox_flat_nhwc(frame_flat, input_width, input_height,
-                              target, bgr_to_rgb)
+                              target, bgr_to_rgb, selection=selection)
     return jnp.transpose(out, (2, 0, 1))
 
 

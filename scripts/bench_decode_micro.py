@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Decompose the decode+NMS slice (~24% of the yolov8n chunk step) on
 the TPU: top-k candidate select, gathers+DFL/keypoint math, pose NMS —
-each timed memoization-proof (in-graph varied inputs, free-running
-loop, one final value fetch; docs/DEVELOPMENT.md quirks).
+each timed with in-graph varied inputs and a free-running loop.
+
+DEPRECATED for absolute numbers: at default iters the timed regions
+land far below the relay RPC floor (docs/DEVELOPMENT.md quirk 8) and
+`block_until_ready` under-reports on device-lineage buffers, so the
+sub-floor rows here (e.g. 0.0002-0.0008 ms) are dispatch noise, not op
+time. Use scripts/bench_slices_scan.py — one lax.scan executable per
+nested pipeline prefix, device_get-fetched — for trustworthy decode
+marginals. Kept for the relative real-vs-relaid layout probe only.
 
 Usage: python scripts/bench_decode_micro.py [-k 128] [--iters 10]
 """

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""A/B the single-frame executable vs the letterbox lowering.
+
+p50_frame_exec_ms regressed 1.62 -> ~4.0 between BENCH runs that
+bracket commit 4701d51 (letterbox strided-slice fast path) while the
+chunk-128 headline IMPROVED 3506 -> 3719+. This probe times the exact
+bench.py leg-4 pattern (free-running single-frame steps over a 4-buffer
+device-resident ring, one final value fetch; docs/DEVELOPMENT.md
+quirks) twice in separate jit universes:
+
+  A: production letterbox (strided-slice fast path active at 720p->640)
+  B: fast path force-disabled (dense interpolation matmuls, the r2 path)
+
+If B ~1.6 ms and A ~4.0 ms, the strided slice is a batch-1 pessimization
+(it wins at chunk 128) and the single-frame pipeline should gate on
+batch; if both are ~4.0, the regression is elsewhere (or the relay's
+post-outage behavior changed) and the fast path is innocent.
+
+RESOLVED (r3): measured A=4.001 / B=1.641 — the strided slice IS the
+batch-1 pessimization. runner._make_step and engine._native_fn now pass
+selection=False; with the fix the production "fast" leg re-measures
+1.629 ms. The chunk path keeps the selection lowering (where it wins).
+
+Usage: python scripts/bench_frame_exec_ab.py [--iters 64]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+
+def measure(pipe, rng, np, jax, iters, H, W):
+    frame = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    pipe.process_frame(frame, block=True)     # compile + warm
+    ring = [jax.device_put(
+        np.ascontiguousarray(rng.integers(0, 255, (H, W, 3),
+                                          dtype=np.uint8)).reshape(-1))
+        for _ in range(4)]
+    jax.block_until_ready(ring)
+    best = 1e30
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(iters):
+            last = pipe.process_frame_device(ring[i % 4], H, W)
+        _ = int(jax.device_get(last["num_active"]))
+        best = min(best, (time.perf_counter() - t0) * 1e3 / iters)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=64)
+    p.add_argument("--leg", choices=["fast", "dense", "both"],
+                   default="both")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+    from posebyte_tpu.core.config import PipelineConfig
+    from posebyte_tpu.ops import preprocess
+
+    H, W = 720, 1280
+    rng = np.random.default_rng(7)
+    rows = {}
+
+    if args.leg in ("fast", "both"):
+        from posebyte_tpu.pipeline import PosePipeline
+        pipe = PosePipeline(PipelineConfig())
+        rows["frame_exec_ms_fastpath"] = round(
+            measure(pipe, rng, np, jax, args.iters, H, W), 3)
+        print(json.dumps(rows), flush=True)
+
+    if args.leg in ("dense", "both"):
+        # Force the general dense-matmul letterbox: the selection
+        # detector returns None, exactly as for non-decimating sizes.
+        preprocess._selection_strides.cache_clear()
+        orig = preprocess._selection_strides.__wrapped__
+        preprocess._selection_strides = lambda *a: None
+        try:
+            from posebyte_tpu.pipeline import PosePipeline as PP2
+            pipe2 = PP2(PipelineConfig())
+            rows["frame_exec_ms_dense"] = round(
+                measure(pipe2, rng, np, jax, args.iters, H, W), 3)
+        finally:
+            import functools
+            preprocess._selection_strides = functools.lru_cache(16)(orig)
+
+    print(json.dumps(rows))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,15 +145,10 @@ def test_letterbox_selection_path_matches_matmul_path():
         assert _selection_strides(w, h, tgt) is not None
         flat = jnp.asarray(rng.integers(0, 255, (h * w * 3,), np.uint8))
         fast = np.asarray(letterbox_flat_nhwc(flat, w, h, tgt))
-        # force the general path by bypassing the selection branch
-        import posebyte_tpu.ops.preprocess as pp
-        orig = pp._selection_strides
-        pp._selection_strides = lambda *a: None
-        try:
-            slow = np.asarray(
-                letterbox_flat_nhwc.__wrapped__(flat, w, h, tgt))
-        finally:
-            pp._selection_strides = orig
+        # selection=False forces the general matmul path — the lowering
+        # the single-frame pipeline uses (batch-1 perf; runner._make_step)
+        slow = np.asarray(
+            letterbox_flat_nhwc(flat, w, h, tgt, selection=False))
         np.testing.assert_array_equal(fast, slow)
     # non-decimating geometry must NOT take the fast path
     assert _selection_strides(200, 100, 64) is None
