@@ -177,13 +177,20 @@ def main():
                                           dtype=np.uint8)).reshape(-1))
         for _ in range(4)]
     jax.block_until_ready(ring)
+    # min over 3 passes: the FIRST pass pays the per-(executable,
+    # buffer) first-pairing slow path for each ring buffer (quirk 2) —
+    # one 64-iter pass measured 2.3 ms/frame where the steady state is
+    # 1.63 (BENCH_FRAME_EXEC_AB_r03.json uses the same min-of-reps).
     n_exec = 64
-    t0 = time.perf_counter()
-    last = None
-    for i in range(n_exec):
-        last = pipe.process_frame_device(ring[i % 4], H, W)
-    _ = int(jax.device_get(last["num_active"]))
-    exec_ms = (time.perf_counter() - t0) * 1e3 / n_exec
+    exec_ms = 1e30
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(n_exec):
+            last = pipe.process_frame_device(ring[i % 4], H, W)
+        _ = int(jax.device_get(last["num_active"]))
+        exec_ms = min(exec_ms,
+                      (time.perf_counter() - t0) * 1e3 / n_exec)
 
     # (5) SUSTAINED bulk H2D bandwidth (VERDICT r2 item 2a): stage
     # several whole chunks back-to-back and time first-put ->
