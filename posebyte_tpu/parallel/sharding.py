@@ -44,8 +44,12 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     """Unbatched fused step (shared with PosePipeline semantics)."""
     det_cfg = config.detector
     h, w = frame_u8.shape[0], frame_u8.shape[1]
+    # selection=False: the strided-slice letterbox lowering loses at
+    # small batch — even vmapped over 8 streams it measured 10.3 vs
+    # 6.8 ms/step (scripts/bench_serving_letterbox_ab.py, v5e); only
+    # the K-frame chunk paths keep it. Bit-identical either way.
     img = letterbox_flat_nhwc(frame_u8.reshape(-1), w, h,
-                              det_cfg.input_size)
+                              det_cfg.input_size, selection=False)
     box, cls, kpt = heads_fn(params, img[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size,
