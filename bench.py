@@ -281,6 +281,9 @@ def main():
         int8_fields = {
             "int8_fps": round(float(int8_fps), 2),
             "int8_vs_bf16": round(float(int8_fps / fps), 4),
+            "int8_note": ("act_scales synthetic (uniform 0.05), "
+                          "throughput-only; accuracy-calibrated int8 is "
+                          "covered by tests/test_trained_pixels.py"),
         }
     except Exception as e:   # int8 leg must not kill the headline
         int8_fields = {"int8_error": f"{type(e).__name__}: {e}"[:120]}

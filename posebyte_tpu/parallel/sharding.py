@@ -181,9 +181,10 @@ class MultiStreamChunkPipeline:
             if (jax.default_backend() == "tpu"
                     and trk_cfg.reid_weight == 0.0):
                 from ..ops.pallas_tracker import tracker_chunk_pallas
-                state, outs = tracker_chunk_pallas(state, dets, trk_cfg)
-                return state, {"emit": outs["emit"],
-                               "num_active": outs["num_active"]}
+                # Full outs dict (ids/scores/poses/boxes/emit/num_active):
+                # the published FPS/stream includes output assembly, like
+                # the reference's getActiveTracks (gpu_tracker.cu:1559).
+                return tracker_chunk_pallas(state, dets, trk_cfg)
 
             if trk_cfg.reid_weight > 0.0:
                 from ..ops.reid import pose_color_embedding
@@ -197,9 +198,11 @@ class MultiStreamChunkPipeline:
                     st, det, trk_cfg,
                     det_embeddings=emb if trk_cfg.reid_weight > 0.0
                     else None)
-                _, _, _, _, emit = extract_outputs_device(
+                ids, scores, poses, boxes, emit = extract_outputs_device(
                     st, det.scores, trk_cfg)
-                return st, {"emit": emit, "num_active": aux["num_active"]}
+                return st, {"ids": ids, "scores": scores, "poses": poses,
+                            "boxes": boxes, "emit": emit,
+                            "num_active": aux["num_active"]}
 
             return jax.lax.scan(track_one, state, (dets, embs))
 
@@ -211,7 +214,7 @@ class MultiStreamChunkPipeline:
     def _step_for(self, h: int, w: int):
         fn = self._steps.get((h, w))
         if fn is None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec
 
             per_stream = functools.partial(self._per_stream, h=h, w=w)
@@ -226,7 +229,7 @@ class MultiStreamChunkPipeline:
                 vstep, mesh=self.mesh,
                 in_specs=(P_(), P_("stream"), P_("stream")),
                 out_specs=(P_("stream"), P_("stream")),
-                check_rep=False)
+                check_vma=False)
             fn = jax.jit(smap, donate_argnums=(1,))
             self._steps[(h, w)] = fn
         return fn

@@ -40,6 +40,14 @@ step on the concatenated global batch (grad-of-mean == pmean of
 grads-of-shard-means when shards are equal-sized; asserted to fp
 tolerance in tests/test_parallel_train.py on the 8-virtual-device CPU
 mesh).
+
+JAX-version requirement: the gradient scaling above RELIES on
+`jax.shard_map`'s varying-axis (check_vma) semantics — the implicit
+psum on the transpose of the unvarying-params broadcast — pinned on
+JAX 0.9.0. Do NOT wrap these bodies with check_vma=False, and treat
+tests/test_parallel_train.py::test_dp_step_matches_single_device as
+the REQUIRED gate for any JAX upgrade: it is the only check that
+catches a silent n_dev× update rescale if those semantics change.
 """
 from __future__ import annotations
 
@@ -66,12 +74,19 @@ def make_data_mesh(n_devices: int | None = None) -> Mesh:
 
 def shard_dataset(data: dict, mesh: Mesh) -> dict:
     """Place a host dataset dict ({k: [N, ...]}) sharded along axis 0
-    over the mesh's ``data`` axis. N must divide evenly (trim first)."""
+    over the mesh's ``data`` axis. N is trimmed to a multiple of the
+    mesh size (a warning is logged when samples are dropped)."""
+    import warnings
     sharding = NamedSharding(mesh, P("data"))
     n_dev = mesh.shape["data"]
     out = {}
     for k, v in data.items():
         n = (v.shape[0] // n_dev) * n_dev
+        if n != v.shape[0]:
+            warnings.warn(
+                f"shard_dataset: trimming '{k}' from {v.shape[0]} to {n} "
+                f"samples ({v.shape[0] - n} dropped) to divide evenly "
+                f"over {n_dev} devices", stacklevel=2)
         out[k] = jax.device_put(jnp.asarray(v[:n]), sharding)
     return out
 

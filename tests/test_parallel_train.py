@@ -85,7 +85,10 @@ def test_dp_step_rejects_indivisible_batch():
     opt = optax.adam(1e-3)
     params = init_params(jax.random.PRNGKey(0), MODEL)
     dp_step = make_dp_train_step(MODEL, S, opt, mesh)
-    with pytest.raises(Exception):
+    # shard_map rejects a non-divisible sharded axis with ValueError;
+    # keep the match narrow so unrelated failures (import errors inside
+    # jit, TypeError) can't satisfy this guard (ADVICE r3).
+    with pytest.raises(ValueError):
         dp_step(params, opt.init(params), batch)
 
 
