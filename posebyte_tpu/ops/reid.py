@@ -27,6 +27,24 @@ from ..core import constants as C
 REID_DIM = C.NUM_KEYPOINTS * 3
 
 
+def make_embed_fn(reid_params=None):
+    """(image_hwc, poses) -> [N, 51] appearance embeddings.
+
+    The single selection point for the appearance source, shared by
+    PosePipeline and every serving class (StreamServer /
+    ChunkedStreamServer / MultiStream*Pipeline): the LEARNED head
+    (models/reid_head.py, trained by scripts/train_reid.py) when
+    `reid_params` is given, else the training-free pose-color
+    descriptor. Identical [N, 51] keypoint-blocked output layout either
+    way, so tracker association and the fused Pallas kernel are
+    agnostic to the source.
+    """
+    if reid_params is not None:
+        from ..models.reid_head import apply_reid_head
+        return lambda img, poses: apply_reid_head(reid_params, img, poses)
+    return pose_color_embedding
+
+
 def pose_color_embedding(image_hwc: jnp.ndarray,
                          poses: jnp.ndarray) -> jnp.ndarray:
     """Training-free appearance descriptor.

@@ -40,8 +40,12 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
-                        heads_fn):
-    """Unbatched fused step (shared with PosePipeline semantics)."""
+                        heads_fn, embed_fn=None):
+    """Unbatched fused step (shared with PosePipeline semantics).
+
+    embed_fn: appearance source when config.tracker.reid_weight > 0
+    (ops.reid.make_embed_fn — the learned head when serving was built
+    with reid_params, else the training-free descriptor)."""
     det_cfg = config.detector
     h, w = frame_u8.shape[0], frame_u8.shape[1]
     # selection=False: the strided-slice letterbox lowering loses at
@@ -59,8 +63,10 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
                    det_cfg.max_detections, presorted=True)
     emb = None
     if config.tracker.reid_weight > 0.0:
-        from ..ops.reid import pose_color_embedding
-        emb = pose_color_embedding(img, det.poses)
+        if embed_fn is None:
+            from ..ops.reid import make_embed_fn
+            embed_fn = make_embed_fn()
+        emb = embed_fn(img, det.poses)
     state, aux = tracker_step(state, det, config.tracker,
                               det_embeddings=emb)
     ids, scores, poses, boxes, emit = extract_outputs_device(
@@ -81,7 +87,9 @@ class MultiStreamPipeline:
 
     def __init__(self, num_streams: int, config: PipelineConfig =
                  PipelineConfig(), mesh: Optional[Mesh] = None,
-                 params=None, seed: int = 0, dtype=jnp.bfloat16):
+                 params=None, seed: int = 0, dtype=jnp.bfloat16,
+                 reid_params=None):
+        from ..ops.reid import make_embed_fn
         self.config = config
         self.num_streams = num_streams
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -102,7 +110,8 @@ class MultiStreamPipeline:
 
         vstep = jax.vmap(
             functools.partial(_single_stream_step, config=config,
-                              heads_fn=self.heads_fn),
+                              heads_fn=self.heads_fn,
+                              embed_fn=make_embed_fn(reid_params)),
             in_axes=(None, 0, 0))
         self._step = jax.jit(
             vstep,
@@ -129,10 +138,12 @@ class MultiStreamChunkPipeline:
     def __init__(self, num_streams: int, chunk: int,
                  config: PipelineConfig = PipelineConfig(),
                  mesh: Optional[Mesh] = None, params=None, seed: int = 0,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, reid_params=None):
         from ..ops.preprocess import letterbox_flat_nhwc
         from ..ops.decode import decode_topk as _decode_topk
         from ..ops.nms import pose_nms as _pose_nms
+        from ..ops.reid import make_embed_fn
+        embed_fn = make_embed_fn(reid_params)
 
         self.config = config
         self.num_streams = num_streams
@@ -174,23 +185,24 @@ class MultiStreamChunkPipeline:
 
             dets = jax.vmap(decode_one)(box, cls, kpt)
 
+            if trk_cfg.reid_weight > 0.0:
+                embs = jax.vmap(embed_fn)(imgs, dets.poses)
+            else:
+                embs = jnp.zeros((frames_flat.shape[0], 1))
+
             # TPU: the K-frame recurrence as one fused Pallas kernel
             # (ops/pallas_tracker.py) — legal here because shard_map
-            # makes everything device-local; elsewhere / kalman136 the
-            # lax.scan path.
-            if (jax.default_backend() == "tpu"
-                    and trk_cfg.reid_weight == 0.0):
+            # makes everything device-local; Re-ID runs in-kernel as
+            # channel planes. The lax.scan path covers CPU/dryrun.
+            if jax.default_backend() == "tpu":
                 from ..ops.pallas_tracker import tracker_chunk_pallas
                 # Full outs dict (ids/scores/poses/boxes/emit/num_active):
                 # the published FPS/stream includes output assembly, like
                 # the reference's getActiveTracks (gpu_tracker.cu:1559).
-                return tracker_chunk_pallas(state, dets, trk_cfg)
-
-            if trk_cfg.reid_weight > 0.0:
-                from ..ops.reid import pose_color_embedding
-                embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
-            else:
-                embs = jnp.zeros((frames_flat.shape[0], 1))
+                return tracker_chunk_pallas(
+                    state, dets, trk_cfg,
+                    det_embeddings=embs if trk_cfg.reid_weight > 0.0
+                    else None)
 
             def track_one(st, det_emb):
                 det, emb = det_emb

@@ -99,13 +99,12 @@ class PosePipeline:
     def _embed_fn(self):
         """(image_hwc, poses) -> [N, 51] appearance embeddings: the
         learned head when reid_params is loaded, else the training-free
-        pose-color descriptor (identical output layout)."""
-        if self.reid_params is not None:
-            from ..models.reid_head import apply_reid_head
-            rp = self.reid_params
-            return lambda img, poses: apply_reid_head(rp, img, poses)
-        from ..ops.reid import pose_color_embedding
-        return pose_color_embedding
+        pose-color descriptor (identical output layout). Single shared
+        selection point: ops.reid.make_embed_fn — the serving classes
+        (StreamServer/ChunkedStreamServer/MultiStream*Pipeline) use the
+        same helper, so demo and production serving can't diverge."""
+        from ..ops.reid import make_embed_fn
+        return make_embed_fn(self.reid_params)
 
     # -- fused step ---------------------------------------------------------
     def _make_step(self, h: int, w: int):

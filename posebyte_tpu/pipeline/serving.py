@@ -20,8 +20,12 @@ or reshapes anything — the pool geometry is static for XLA.
 
 The Re-ID appearance term (config.reid_weight > 0) is honored in every
 serving mode: the per-frame gated step and the chunked step both
-compute the pose-aligned color descriptor and blend it into
-association (ops/reid.py), exactly as PosePipeline does.
+compute appearance embeddings and blend them into association, exactly
+as PosePipeline does. Pass `reid_params` (the trained head from
+scripts/train_reid.py) to use the LEARNED embedding; otherwise the
+training-free pose-color descriptor is used. The selection point is
+shared with PosePipeline (ops.reid.make_embed_fn), so demo and serving
+cannot diverge.
 """
 from __future__ import annotations
 
@@ -41,13 +45,13 @@ from ..parallel.sharding import (Mesh, NamedSharding, P, make_mesh,
 
 
 def _gated_stream_step(params, state, frame_u8, advance, reset,
-                       config: PipelineConfig, heads_fn):
+                       config: PipelineConfig, heads_fn, embed_fn=None):
     """One stream slot's step with lifecycle gating (see module doc)."""
     fresh = TrackerState.init(config.tracker.max_tracks,
                               config.tracker.max_detections)
     state = jax.tree.map(lambda i, s: jnp.where(reset, i, s), fresh, state)
     new_state, out = _single_stream_step(params, state, frame_u8, config,
-                                         heads_fn)
+                                         heads_fn, embed_fn=embed_fn)
     state = jax.tree.map(lambda n, o: jnp.where(advance, n, o), new_state,
                          state)
     out = dict(out)
@@ -57,7 +61,8 @@ def _gated_stream_step(params, state, frame_u8, advance, reset,
 
 
 def _gated_stream_chunk(params, state, frames_flat, advance, reset,
-                        h, w, config: PipelineConfig, heads_fn):
+                        h, w, config: PipelineConfig, heads_fn,
+                        embed_fn=None):
     """One stream slot's K-frame chunk with lifecycle gating: detection
     batches over all K frames (MXU-friendly, outside the scan); the
     tracker recurrence scans with a per-frame advance mask, so a slot
@@ -90,8 +95,10 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
 
     dets = jax.vmap(decode_one)(box, cls, kpt)
     if trk_cfg.reid_weight > 0.0:
-        from ..ops.reid import pose_color_embedding
-        embs = jax.vmap(pose_color_embedding)(imgs, dets.poses)
+        if embed_fn is None:
+            from ..ops.reid import make_embed_fn
+            embed_fn = make_embed_fn()
+        embs = jax.vmap(embed_fn)(imgs, dets.poses)
     else:
         embs = jnp.zeros((frames_flat.shape[0], 1))   # scan placeholder
 
@@ -141,11 +148,13 @@ class StreamServer:
     def __init__(self, num_streams: int, frame_shape: tuple[int, int],
                  config: PipelineConfig = PipelineConfig(),
                  mesh: Optional[Mesh] = None, params=None, seed: int = 0,
-                 dtype=None, heads_fn=None):
+                 dtype=None, heads_fn=None, reid_params=None):
+        from ..ops.reid import make_embed_fn
         if dtype is None:    # honor config.precision, as PosePipeline does
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
         self.config = config
+        self._embed_fn = make_embed_fn(reid_params)
         self.num_streams = num_streams
         self.frame_h, self.frame_w = frame_shape
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -168,7 +177,8 @@ class StreamServer:
 
         vstep = jax.vmap(
             functools.partial(_gated_stream_step, config=config,
-                              heads_fn=self.heads_fn),
+                              heads_fn=self.heads_fn,
+                              embed_fn=self._embed_fn),
             in_axes=(None, 0, 0, 0, 0))
         self._step = jax.jit(
             vstep,
@@ -268,17 +278,19 @@ class ChunkedStreamServer(StreamServer):
                  chunk: int = 8,
                  config: PipelineConfig = PipelineConfig(),
                  mesh: Optional[Mesh] = None, params=None, seed: int = 0,
-                 dtype=None, heads_fn=None):
+                 dtype=None, heads_fn=None, reid_params=None):
         super().__init__(num_streams, frame_shape, config=config,
                          mesh=mesh, params=params, seed=seed,
-                         dtype=dtype, heads_fn=heads_fn)
+                         dtype=dtype, heads_fn=heads_fn,
+                         reid_params=reid_params)
         self.chunk = chunk
         stream = NamedSharding(self.mesh, P("stream"))
         replicated = NamedSharding(self.mesh, P())
         vchunk = jax.vmap(
             functools.partial(_gated_stream_chunk, h=self.frame_h,
                               w=self.frame_w, config=config,
-                              heads_fn=self.heads_fn),
+                              heads_fn=self.heads_fn,
+                              embed_fn=self._embed_fn),
             in_axes=(None, 0, 0, 0, 0))
         self._chunk_step = jax.jit(
             vchunk,
