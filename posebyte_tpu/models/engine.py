@@ -101,9 +101,11 @@ class YoloPoseEngine:
             @jax.jit
             def run(params, frame_flat_u8):
                 # selection=False: strided-slice letterbox is a batch-1
-                # pessimization (scripts/bench_frame_exec_ab.py)
+                # pessimization (scripts/bench_frame_exec_ab.py); env
+                # override for clean-process A/B probes only.
+                from ..ops.preprocess import batch1_selection_override
                 img = letterbox_flat(frame_flat_u8, w, h, cfg.input_size,
-                                     selection=False)
+                                     selection=batch1_selection_override())
                 raw = apply_fn(params, jnp.transpose(img, (1, 2, 0))[None])
                 det = decode_yolo_output(raw[0], cfg.conf_threshold,
                                          cfg.max_candidates)

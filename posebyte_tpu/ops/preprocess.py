@@ -22,12 +22,26 @@ Two TPU-specific design decisions (measured on v5e):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import constants as C
+
+
+def batch1_selection_override() -> bool:
+    """Debug hook for letterbox-lowering A/B probes.
+
+    Single-frame call sites (runner._make_step, engine batch-1 paths)
+    pass selection=False because the strided-slice lowering is a
+    measured batch-1 pessimization (4.00 vs 1.64 ms fused step,
+    scripts/bench_frame_exec_ab.py). Setting
+    POSEBYTE_DEBUG_BATCH1_SELECTION=1 re-enables the strided-slice
+    lowering at those sites so the A/B can be re-run in a clean
+    process per leg — no monkeypatching, no shared jit caches."""
+    return os.environ.get("POSEBYTE_DEBUG_BATCH1_SELECTION", "") == "1"
 
 
 def letterbox_params(input_width: int, input_height: int,

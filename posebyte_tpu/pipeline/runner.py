@@ -123,11 +123,13 @@ class PosePipeline:
             # selection=False: the strided-slice letterbox lowering is a
             # batch-1 pessimization (4.00 vs 1.64 ms/frame fused step on
             # v5e, scripts/bench_frame_exec_ab.py); the chunk path keeps
-            # it, where it wins. Bit-identical either way.
+            # it, where it wins. Bit-identical either way. The env
+            # override exists only for clean-process A/B probes.
+            from ..ops.preprocess import batch1_selection_override
             img = letterbox_flat_nhwc(frame_flat_u8, w, h,
                                       det_cfg.input_size,
                                       out_dtype=lb_dtype,
-                                      selection=False)
+                                      selection=batch1_selection_override())
             det = detect_fn(params, img, det_cfg, heads_fn)
             emb = None
             if trk_cfg.reid_weight > 0.0:

@@ -21,7 +21,16 @@ batch-1 pessimization. runner._make_step and engine._native_fn now pass
 selection=False; with the fix the production "fast" leg re-measures
 1.629 ms. The chunk path keeps the selection lowering (where it wins).
 
-Usage: python scripts/bench_frame_exec_ab.py [--iters 64]
+r4 (ADVICE): ONE PROCESS PER LEG — in-process jit caches contaminate
+A/Bs (see bench_serving_letterbox_ab.py), so the old --leg both was
+dropped. The "selection" leg re-enables the strided-slice lowering via
+the supported POSEBYTE_DEBUG_BATCH1_SELECTION=1 hook
+(ops.preprocess.batch1_selection_override) instead of monkeypatching a
+detector the production path no longer consults.
+
+Usage (run each in its own process):
+  python scripts/bench_frame_exec_ab.py --leg production [--iters 64]
+  python scripts/bench_frame_exec_ab.py --leg selection  [--iters 64]
 """
 import argparse
 import json
@@ -59,41 +68,27 @@ def measure(pipe, rng, np, jax, iters, H, W):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=64)
-    p.add_argument("--leg", choices=["fast", "dense", "both"],
-                   default="both")
+    p.add_argument("--leg", choices=["production", "selection"],
+                   default="production",
+                   help="production = shipped dense-matmul batch-1 "
+                        "letterbox; selection = strided-slice lowering "
+                        "re-enabled via the debug env hook. Run ONE "
+                        "leg per process.")
     args = p.parse_args()
+
+    if args.leg == "selection":
+        os.environ["POSEBYTE_DEBUG_BATCH1_SELECTION"] = "1"
 
     import jax
     import numpy as np
     from posebyte_tpu.core.config import PipelineConfig
-    from posebyte_tpu.ops import preprocess
+    from posebyte_tpu.pipeline import PosePipeline
 
     H, W = 720, 1280
     rng = np.random.default_rng(7)
-    rows = {}
-
-    if args.leg in ("fast", "both"):
-        from posebyte_tpu.pipeline import PosePipeline
-        pipe = PosePipeline(PipelineConfig())
-        rows["frame_exec_ms_fastpath"] = round(
-            measure(pipe, rng, np, jax, args.iters, H, W), 3)
-        print(json.dumps(rows), flush=True)
-
-    if args.leg in ("dense", "both"):
-        # Force the general dense-matmul letterbox: the selection
-        # detector returns None, exactly as for non-decimating sizes.
-        preprocess._selection_strides.cache_clear()
-        orig = preprocess._selection_strides.__wrapped__
-        preprocess._selection_strides = lambda *a: None
-        try:
-            from posebyte_tpu.pipeline import PosePipeline as PP2
-            pipe2 = PP2(PipelineConfig())
-            rows["frame_exec_ms_dense"] = round(
-                measure(pipe2, rng, np, jax, args.iters, H, W), 3)
-        finally:
-            import functools
-            preprocess._selection_strides = functools.lru_cache(16)(orig)
-
+    pipe = PosePipeline(PipelineConfig())
+    rows = {f"frame_exec_ms_{args.leg}": round(
+        measure(pipe, rng, np, jax, args.iters, H, W), 3)}
     print(json.dumps(rows))
     return 0
 

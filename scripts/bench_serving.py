@@ -37,6 +37,10 @@ def main():
     p.add_argument("--starve", action="store_true",
                    help="also run a leg with 2 of the streams starved "
                         "(advance-gating exercised on hardware)")
+    p.add_argument("--device-only", action="store_true",
+                   help="skip the host-driven loop + ingest probe "
+                        "(minutes of relay-tunnel H2D); measure only "
+                        "the device-side executable")
     args = p.parse_args()
 
     import numpy as np
@@ -56,21 +60,22 @@ def main():
                 srv.submit(sid, np.bitwise_xor(
                     base[k], np.uint8((step_idx * 31 + si) & 0xFF)))
 
-    # warm (compile) + one settle step
-    feed(0)
-    srv.step()
-    for sid in sids:
-        srv.poll(sid)
-
-    t0 = time.perf_counter()
-    served = 0
-    for it in range(args.steps):
-        feed(it + 1)
-        served += srv.step()
+    if not args.device_only:
+        # warm (compile) + one settle step
+        feed(0)
+        srv.step()
         for sid in sids:
             srv.poll(sid)
-    dt = time.perf_counter() - t0
-    fps_total = served / dt
+
+        t0 = time.perf_counter()
+        served = 0
+        for it in range(args.steps):
+            feed(it + 1)
+            served += srv.step()
+            for sid in sids:
+                srv.poll(sid)
+        dt = time.perf_counter() - t0
+        fps_total = served / dt
 
     # Decomposition — two direct measurements, no subtraction games:
     #  (a) ingest probe: a bare device_put of one step's exact payload
@@ -92,40 +97,100 @@ def main():
     adv_dev = jnp.ones((S, K), bool)
     rst_dev = jnp.zeros(S, bool)
     states = srv.states
-    # warm (already compiled from the loop above; this settles queues)
-    states, out = srv._chunk_step(srv.params, states, staged, adv_dev,
-                                  rst_dev)
-    jax.block_until_ready(out)
-    n_dev = max(args.steps, 12)
-    t0 = time.perf_counter()
-    for _ in range(n_dev):
+    device_step_ms = None
+    if not args.device_only:
+        # Per-dispatch probe: meaningful only after the host loop has
+        # warmed the relay's per-(executable, buffers) pairings —
+        # cold-pairing dispatches hit the relay's multi-second slow
+        # path (docs/DEVELOPMENT.md quirk) and measure nothing real.
         states, out = srv._chunk_step(srv.params, states, staged,
                                       adv_dev, rst_dev)
-    _ = float(jax.device_get(out["num_active"]).sum())  # value fetch
-    dev_dt = time.perf_counter() - t0
-    srv.states = states
-    device_step_ms = dev_dt / n_dev * 1e3
+        jax.block_until_ready(out)
+        n_dev = max(args.steps, 12)
+        t0 = time.perf_counter()
+        for _ in range(n_dev):
+            states, out = srv._chunk_step(srv.params, states, staged,
+                                          adv_dev, rst_dev)
+        _ = float(jax.device_get(out["num_active"]).sum())  # value fetch
+        dev_dt = time.perf_counter() - t0
+        device_step_ms = dev_dt / n_dev * 1e3
 
-    step_ms = dt / args.steps * 1e3
+    # (c) scan probe: the canonical memoization-proof pattern (bench.py)
+    #     — N serving chunk-steps as ONE scan executable, chunk content
+    #     varied in-graph, FULL per-frame outputs (ids/scores/poses/
+    #     boxes/emit) stacked as scan ys so output assembly cannot be
+    #     dead-code-eliminated, final device_get value fetch. This is
+    #     the per-step cost with no per-dispatch relay overhead at all.
+    import functools
+    from jax import lax
+    from posebyte_tpu.pipeline.serving import _gated_stream_chunk
+    vchunk = jax.vmap(
+        functools.partial(_gated_stream_chunk, h=H, w=W,
+                          config=srv.config, heads_fn=srv.heads_fn,
+                          embed_fn=srv._embed_fn),
+        in_axes=(None, 0, 0, 0, 0))
+    n_scan = max(args.steps, 12)
+
+    def run_scan(stack_full: bool, states):
+        def scan_loop(params, state, staged, salt):
+            def body(state, i):
+                f = jnp.bitwise_xor(staged, (i + salt).astype(jnp.uint8))
+                state, outs = vchunk(params, state, f, adv_dev, rst_dev)
+                ys = outs if stack_full else outs["num_active"]
+                return state, ys
+            return lax.scan(body, state, jnp.arange(n_scan))
+
+        def last_na(ys):
+            return ys["num_active"] if stack_full else ys
+
+        scan_jit = jax.jit(scan_loop, donate_argnums=(1,))
+        salt = int(np.random.default_rng(1).integers(0, 200))
+        states, ys = scan_jit(srv.params, states, staged, jnp.uint8(salt))
+        _ = float(jax.device_get(last_na(ys))[-1].sum())   # warm
+        t0 = time.perf_counter()
+        states, ys = scan_jit(srv.params, states, staged,
+                              jnp.uint8(salt + 1))
+        _ = float(jax.device_get(last_na(ys))[-1].sum())
+        return states, (time.perf_counter() - t0) / n_scan * 1e3
+
+    states, scan_step_ms = run_scan(True, states)
+    # emit-only leg: same compute, ys = num_active only — isolates the
+    # cost of STACKING full outputs from the day's relay conditions
+    # (the megakernel computes every output either way; only the scan
+    # ys writes differ).
+    states, scan_emit_ms = run_scan(False, states)
+    srv.states = states
+
     result = {
         "metric": "chunked_stream_server_fps",
         "streams": S, "chunk": K, "geometry": [H, W],
-        "fps_total": round(fps_total, 1),
-        "fps_per_stream": round(fps_total / S, 1),
-        "ms_per_step": round(step_ms, 1),
         "ingest_probe_ms": round(ingest_ms, 1),
-        "device_step_ms": round(device_step_ms, 1),
-        "device_fps_total": round(S * K / device_step_ms * 1e3, 1),
-        "frames": served,
+        "scan_step_ms": round(scan_step_ms, 1),
+        "scan_fps_total": round(S * K / scan_step_ms * 1e3, 1),
+        "scan_fps_per_stream": round(K / scan_step_ms * 1e3, 1),
+        "scan_emit_only_ms": round(scan_emit_ms, 1),
         "note": "host-driven server API: ms_per_step includes H2D of "
                 "S*K raw 1080p frames plus host assembly/fetch through "
                 "the relay (~35-45 MB/s link — see BENCH_r03 h2d_GBps), "
                 "which dominates. ingest_probe_ms is a bare device_put "
                 "of the same payload; device_step_ms free-runs the same "
                 "serving executable with frames staged (state threads "
-                "through, final value fetch). Tracker runs as the fused "
-                "chunk kernel with advance gating.",
+                "through, final value fetch); scan_step_ms runs N "
+                "chunk-steps as ONE scan executable with FULL per-frame "
+                "track outputs (ids/scores/poses/boxes/emit) stacked as "
+                "scan ys — output assembly included, zero per-dispatch "
+                "relay overhead. Tracker runs as the fused chunk kernel "
+                "with advance gating.",
     }
+    if not args.device_only:
+        result.update({
+            "fps_total": round(fps_total, 1),
+            "fps_per_stream": round(fps_total / S, 1),
+            "ms_per_step": round(dt / args.steps * 1e3, 1),
+            "device_step_ms": round(device_step_ms, 1),
+            "device_fps_total": round(S * K / device_step_ms * 1e3, 1),
+            "frames": served,
+        })
 
     if args.starve:
         starved = set(sids[:2])

@@ -67,3 +67,25 @@ def test_nms_keep_pallas_matches_xla(rng):
                                      det_sorted.valid, 0.55, 0.55,
                                      interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_conv3x3_int8_pallas_matches_xla(rng):
+    """ops/pallas_conv.py (int8 conv prototype) is bit-exact vs XLA's
+    int8 conv lowering: int32 accumulation + per-channel dequant."""
+    import jax.numpy as jnp
+    from jax import lax
+    from posebyte_tpu.ops.pallas_conv import conv3x3_int8_pallas
+
+    B, H, W, C, O = 2, 8, 8, 128, 128
+    xq = rng.integers(-127, 128, (B, H, W, C)).astype(np.int8)
+    wq = rng.integers(-127, 128, (3, 3, C, O)).astype(np.int8)
+    scale = rng.uniform(0.001, 0.01, O).astype(np.float32)
+    ref = lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(wq), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    ref = (ref.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    got = conv3x3_int8_pallas(jnp.asarray(xq), jnp.asarray(wq),
+                              jnp.asarray(scale), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref, np.float32),
+                                  np.asarray(got, np.float32))
