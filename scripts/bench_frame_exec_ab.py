@@ -74,6 +74,14 @@ def main():
                         "letterbox; selection = strided-slice lowering "
                         "re-enabled via the debug env hook. Run ONE "
                         "leg per process.")
+    p.add_argument("--gather", choices=["onehot", "index"],
+                   default="onehot",
+                   help="decode gather_impl for this leg (ADVICE r3: "
+                        "the onehot default was validated only at "
+                        "chunk 128; A/B it at batch 1 here, one "
+                        "process per value)")
+    p.add_argument("--topk", choices=["sort", "bisect", "approx"],
+                   default="sort")
     args = p.parse_args()
 
     if args.leg == "selection":
@@ -81,14 +89,17 @@ def main():
 
     import jax
     import numpy as np
-    from posebyte_tpu.core.config import PipelineConfig
+    from posebyte_tpu.core.config import DetectorConfig, PipelineConfig
     from posebyte_tpu.pipeline import PosePipeline
 
     H, W = 720, 1280
     rng = np.random.default_rng(7)
-    pipe = PosePipeline(PipelineConfig())
+    cfg = PipelineConfig(detector=DetectorConfig(
+        gather_impl=args.gather, topk_impl=args.topk))
+    pipe = PosePipeline(cfg)
     rows = {f"frame_exec_ms_{args.leg}": round(
-        measure(pipe, rng, np, jax, args.iters, H, W), 3)}
+        measure(pipe, rng, np, jax, args.iters, H, W), 3),
+        "gather_impl": args.gather, "topk_impl": args.topk}
     print(json.dumps(rows))
     return 0
 

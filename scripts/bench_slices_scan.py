@@ -122,6 +122,42 @@ def main():
         return state, (dets.scores.sum() + dets.boxes.sum()
                        + dets.poses.sum())
 
+    # decode-internal prefixes (r4, VERDICT item 4): C1 stops after the
+    # confidence top-K; C2 after the full sparse decode (gathers + DFL
+    # + keypoint math), before NMS. Marginals: topk = C1 - B,
+    # gather+DFL = C2 - C1, NMS = C - C2.
+    from posebyte_tpu.ops.topk import topk_confidence
+
+    def stage_c1(params, state, i, salt):
+        imgs = lb(frames_at(i, salt))
+        box, cls, kpt = pipe.heads_fn(params, imgs)
+
+        def tk(c, b, k):
+            conf = jax.nn.sigmoid(c[:, 0].astype(jnp.float32))
+            ranked = jnp.where(conf >= det_cfg.conf_threshold, conf, -1.0)
+            tc, ti = topk_confidence(ranked, det_cfg.max_candidates,
+                                     det_cfg.topk_impl)
+            # consume box/kpt so the forward isn't partially DCE'd
+            return (tc.sum() + ti.sum().astype(jnp.float32)
+                    + b[0, 0].astype(jnp.float32)
+                    + k[0, 0].astype(jnp.float32))
+
+        return state, jax.vmap(tk)(cls, box, kpt).sum()
+
+    def stage_c2(params, state, i, salt):
+        imgs = lb(frames_at(i, salt))
+        box, cls, kpt = pipe.heads_fn(params, imgs)
+
+        def dec_only(b, c, k):
+            return decode_topk(b, c, k, det_cfg.conf_threshold,
+                               det_cfg.max_candidates, S,
+                               topk_impl=det_cfg.topk_impl,
+                               gather_impl=det_cfg.gather_impl)
+
+        dets = jax.vmap(dec_only)(box, cls, kpt)
+        return state, (dets.scores.sum() + dets.boxes.sum()
+                       + dets.poses.sum())
+
     body_fn = pipe.chunk_body(K, H, W)
 
     def stage_d(params, state, i, salt):
@@ -182,6 +218,8 @@ def main():
     # the decode question if the relay compile service wedges again.
     plan = [("B", "B_lb_forward", stage_b, 24, 96, 100),
             ("C", "C_lb_fwd_decode_nms", stage_c, 24, 96, 200),
+            ("C1", "C1_lb_fwd_topk", stage_c1, 24, 96, 400),
+            ("C2", "C2_lb_fwd_decode", stage_c2, 24, 96, 500),
             ("D", "D_full_chunk", stage_d, 24, 96, 300),
             ("A", "A_letterbox", stage_a, 1024, 4096, 0)]
     for tag, key, fn, n1, n2, ds in plan:
@@ -191,6 +229,7 @@ def main():
     g = lambda k: rows.get(k, {}).get("ms_per_frame")
     a, b, c, d = (g("A_letterbox"), g("B_lb_forward"),
                   g("C_lb_fwd_decode_nms"), g("D_full_chunk"))
+    c1, c2 = g("C1_lb_fwd_topk"), g("C2_lb_fwd_decode")
     marg = {}
     if a is not None:
         marg["letterbox"] = round(a, 5)
@@ -198,6 +237,12 @@ def main():
         marg["model_forward_plus_lb"] = round(b - (a or 0.0), 5)
     if b is not None and c is not None:
         marg["decode_nms"] = round(c - b, 5)
+    if b is not None and c1 is not None:
+        marg["topk_only"] = round(c1 - b, 5)
+    if c1 is not None and c2 is not None:
+        marg["gather_dfl"] = round(c2 - c1, 5)
+    if c2 is not None and c is not None:
+        marg["nms_only"] = round(c - c2, 5)
     if c is not None and d is not None:
         marg["tracker_kernel_plus_outputs"] = round(d - c, 5)
     if d is not None:
