@@ -46,7 +46,8 @@ def _case(model, size, n_frames, map_bar, id):
 # map_bar is per-checkpoint, set within ~5% of the measured pipeline
 # OKS-mAP (VERDICT r3 weak 5: the old uniform 0.8 floor would let a
 # 0.1-mAP decode/letterbox regression pass silently). Measured values:
-# n256 0.957, n640 0.925+, s640 0.933+ (assets/*.metrics.json +
+# n256 0.957, n640 0.925+, s640 0.933+, 11n640 0.919 (r4 checkpoint;
+# first v11 detections from pixels) (assets/*.metrics.json +
 # docs/BENCHMARKS.md accuracy table); MOTA measures 1.0 everywhere, the
 # bar is 0.95.
 MOTA_BAR = 0.95
