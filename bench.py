@@ -48,7 +48,9 @@ def main():
             # A/B knobs for the decode lowering (ops/topk.py,
             # ops/decode.py): sort|bisect|approx and index|onehot.
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
-            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot")),
+            gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot"),
+            decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION",
+                                         "post")),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",
@@ -326,6 +328,7 @@ def main():
         "precision": "bf16",
         "topk_impl": config.detector.topk_impl,
         "gather_impl": config.detector.gather_impl,
+        "decode_fusion": config.detector.decode_fusion,
     }
     print(json.dumps(result))
 

@@ -98,6 +98,16 @@ class DetectorConfig:
     # and every adjacent pair of the interleaved confirmation
     # (BENCH_DECODE_AB_CONFIRM_r03: +2.2..+4.7% e2e vs "index").
     gather_impl: str = "onehot"
+    # Candidate-selection placement (r4, VERDICT r3 item 4):
+    # "post" = select top-K AFTER concatenating the three pyramid
+    # levels into [A, C] tensors (the r1-r3 path); "tail" = fuse
+    # selection into the model tail — per-level top-K on the conv
+    # output layout, then an exact merge of the <=3K survivors
+    # (ops/decode.py::decode_topk_levels) — the concatenated [A, 64/51]
+    # head tensors are never materialized. Bit-identical outputs for
+    # topk_impl in {sort, bisect} (proof in decode_topk_levels's
+    # docstring; equivalence pinned by tests/test_decode_fusion.py).
+    decode_fusion: str = "post"
 
 
 @dataclasses.dataclass(frozen=True)

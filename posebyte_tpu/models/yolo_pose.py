@@ -243,17 +243,28 @@ def _head_level(head, i, x, family: str):
 
 
 @functools.lru_cache(maxsize=8)
-def make_anchors(input_size: int = 640, strides=(8, 16, 32)):
-    """Anchor centers (in grid units) + per-anchor stride, concatenated
-    over levels: ([A, 2], [A]) as numpy (static baked constants)."""
-    pts, strs = [], []
+def make_anchors_levels(input_size: int = 640, strides=(8, 16, 32)):
+    """Per-pyramid-level anchor centers + strides:
+    ((anchors [A_l, 2], strides [A_l]), ...) as numpy, one tuple per
+    level in stride order. Level l's anchors occupy the global index
+    range [offset_l, offset_l + A_l) in make_anchors' concatenation."""
+    per = []
     for s in strides:
         n = input_size // s
         xs = np.arange(n, dtype=np.float32) + 0.5
         gy, gx = np.meshgrid(xs, xs, indexing="ij")
-        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
-        strs.append(np.full((n * n,), s, np.float32))
-    return np.concatenate(pts, 0), np.concatenate(strs, 0)
+        per.append((np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1),
+                    np.full((n * n,), s, np.float32)))
+    return tuple(per)
+
+
+@functools.lru_cache(maxsize=8)
+def make_anchors(input_size: int = 640, strides=(8, 16, 32)):
+    """Anchor centers (in grid units) + per-anchor stride, concatenated
+    over levels: ([A, 2], [A]) as numpy (static baked constants)."""
+    per = make_anchors_levels(input_size, strides)
+    return (np.concatenate([p for p, _ in per], 0),
+            np.concatenate([s for _, s in per], 0))
 
 
 def _dfl(box_logits: jnp.ndarray) -> jnp.ndarray:
@@ -266,15 +277,17 @@ def _dfl(box_logits: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def forward_heads(params, x, family: str = "v8",
-                  packed_stem: int = 0):
-    """Input [B, S, S, 3] NHWC -> undecoded head outputs
-    (box_logits [B, A, 64], cls_logits [B, A, 1], kpt_raw [B, A, 51]).
+def forward_head_maps(params, x, family: str = "v8",
+                      packed_stem: int = 0):
+    """Input [B, S, S, 3] NHWC -> undecoded PER-LEVEL head maps:
+    a tuple of (box [B, A_l, 64], cls [B, A_l, 1], kpt [B, A_l, 51])
+    per pyramid level (A_l = H_l*W_l, row-major flatten of the conv
+    output — free reshape, no cross-level concatenation).
 
-    The hot path: the pipeline selects top-K candidates on
-    sigmoid(cls_logits) and decodes DFL/keypoints only for those
-    (ops/decode.py::decode_topk) — a ~30x reduction of decode-tail work
-    versus decoding all A anchors."""
+    This is the producer surface for the tail-fused decode
+    (ops/decode.py::decode_topk_levels): candidate selection runs on
+    each level's conv-native layout and the [B, A, C] concatenated
+    tensors are never materialized."""
     stem_done = False
     if packed_stem > 1 and x.shape[0] % packed_stem == 0:
         # frame-packed stem: full MXU lane occupancy on the thin first
@@ -287,16 +300,29 @@ def forward_heads(params, x, family: str = "v8",
         feats = _backbone_neck_v11(params, x, stem_done)
 
     head = params["head"]
-    boxes, clss, kpts = [], [], []
+    levels = []
     for i, f in enumerate(feats):
         b, c, k = _head_level(head, i, f, family)
         B = b.shape[0]
-        boxes.append(b.reshape(B, -1, 4 * REG_MAX))
-        clss.append(c.reshape(B, -1, NUM_CLASSES))
-        kpts.append(k.reshape(B, -1, NK))
-    return (jnp.concatenate(boxes, axis=1),
-            jnp.concatenate(clss, axis=1),
-            jnp.concatenate(kpts, axis=1))
+        levels.append((b.reshape(B, -1, 4 * REG_MAX),
+                       c.reshape(B, -1, NUM_CLASSES),
+                       k.reshape(B, -1, NK)))
+    return tuple(levels)
+
+
+def forward_heads(params, x, family: str = "v8",
+                  packed_stem: int = 0):
+    """Input [B, S, S, 3] NHWC -> undecoded head outputs
+    (box_logits [B, A, 64], cls_logits [B, A, 1], kpt_raw [B, A, 51]).
+
+    The hot path: the pipeline selects top-K candidates on
+    sigmoid(cls_logits) and decodes DFL/keypoints only for those
+    (ops/decode.py::decode_topk) — a ~30x reduction of decode-tail work
+    versus decoding all A anchors."""
+    levels = forward_head_maps(params, x, family, packed_stem)
+    return (jnp.concatenate([b for b, _, _ in levels], axis=1),
+            jnp.concatenate([c for _, c, _ in levels], axis=1),
+            jnp.concatenate([k for _, _, k in levels], axis=1))
 
 
 def decode_dense(box, cls, kpt, input_size: int):
@@ -355,6 +381,20 @@ def build_model_heads(name: str = "yolov8n-pose", dtype=jnp.float32,
         return init_params(key, name)
 
     return heads_fn, init_fn
+
+
+def build_model_head_maps(name: str = "yolov8n-pose",
+                          dtype=jnp.float32, packed_stem: int = 0):
+    """Like build_model_heads, but the returned fn yields PER-LEVEL
+    head maps (forward_head_maps) for the tail-fused decode
+    (DetectorConfig.decode_fusion == "tail")."""
+    cfg = MODEL_CONFIGS[name]
+
+    def head_maps_fn(params, x):
+        return forward_head_maps(params, x.astype(dtype), cfg.family,
+                                 packed_stem=packed_stem)
+
+    return head_maps_fn
 
 
 def build_model(name: str = "yolov8n-pose", dtype=jnp.float32):

@@ -135,6 +135,119 @@ def decode_topk(box_logits: jnp.ndarray, cls_logits: jnp.ndarray,
         raise ValueError(f"unknown gather_impl {gather_impl!r} "
                          "(expected index|onehot)")
 
+    return _decode_candidate_tail(valid, conf_sel, bl, kpt_sel,
+                                  anchors, strides, k)
+
+
+@functools.partial(jax.jit, static_argnames=("max_candidates",
+                                             "input_size", "topk_impl",
+                                             "gather_impl"))
+def decode_topk_levels(levels, conf_threshold, max_candidates: int,
+                       input_size: int, topk_impl: str = "sort",
+                       gather_impl: str = "onehot") -> Detections:
+    """Tail-fused sparse decode (r4, VERDICT r3 item 4 / ROADMAP #2):
+    candidate selection runs PER PYRAMID LEVEL on the conv-native
+    layout, before any cross-level concatenation — the [A, 64/51] head
+    tensors decode_topk selects from are never materialized.
+
+    `levels` is the forward_head_maps output for ONE image: a tuple of
+    (box_logits [A_l, 64], cls_logits [A_l, 1], kpt_raw [A_l, 51]) per
+    level. Per level: confidence ranking + top-min(K, A_l) + candidate
+    row extraction (one fused payload gather of
+    [anchors | stride | conf | box_logits | kpt_raw]). The <= 3K
+    survivors then merge with ONE small two-key sort ordered by
+    (bit-total-order key desc, global anchor index asc) — exactly
+    lax.top_k's order on the concatenated ranking — and the top K rows
+    feed the shared decode tail.
+
+    EXACTNESS (topk_impl "sort"/"bisect"): an anchor outside its
+    level's top-K has K same-level anchors strictly ahead of it in the
+    total order, hence K global anchors ahead of it — it cannot be in
+    the global top-K, so the global top-K is a subset of the union of
+    per-level top-Ks; the merge sort reproduces lax.top_k's exact
+    (descending value, ascending index, bit-level -0.0 < +0.0) order,
+    including the all-filler tail when fewer than K anchors pass the
+    threshold. Output Detections are bit-identical to
+    decode_topk(concat(levels)) for both gather_impls (the onehot
+    subnormal-flush caveat applies identically: a bf16-subnormal
+    payload entry flushes in the first selection matmul on either
+    path, and a flushed zero stays zero through the merge matmul).
+    Equivalence is pinned by tests/test_decode_fusion.py.
+    topk_impl "approx" composes per level (a different approximation
+    than global approx_max_k; still opt-in, outside the fidelity
+    contract).
+
+    Reference parity: same candidate contract as decode_topk
+    (gpu_postprocess.cu:30-81 kernelDecodeAndFilter + the :178-203
+    score sort); the per-level formulation is a TPU layout choice with
+    identical aggregate behavior.
+    """
+    from ..models.yolo_pose import make_anchors_levels
+    from .topk import onehot_select, topk_confidence, total_order_key
+
+    per = make_anchors_levels(input_size)
+    if len(per) != len(levels):
+        raise ValueError(f"expected {len(per)} levels, got {len(levels)}")
+    A_total = sum(b.shape[0] for b, _, _ in levels)
+    k = min(max_candidates, A_total)
+
+    tc_parts, gidx_parts, pay_parts = [], [], []
+    offset = 0
+    for (bl_l, cls_l, kpt_l), (anch_np, str_np) in zip(levels, per):
+        A_l = bl_l.shape[0]
+        conf = jax.nn.sigmoid(cls_l[:, 0].astype(jnp.float32))  # [A_l]
+        ranked = jnp.where(conf >= conf_threshold, conf, -1.0)
+        kl = min(k, A_l)
+        tc, ti = topk_confidence(ranked, kl, topk_impl)
+        payload = jnp.concatenate(
+            [jnp.asarray(anch_np, jnp.float32),
+             jnp.asarray(str_np, jnp.float32)[:, None],
+             conf[:, None],
+             bl_l.astype(jnp.float32),
+             kpt_l.astype(jnp.float32)], axis=1)       # [A_l, 119]
+        if gather_impl == "onehot":
+            onehot = ti[:, None] == jnp.arange(A_l, dtype=jnp.int32)
+            rows = onehot_select(onehot, payload)      # [kl, 119]
+        elif gather_impl == "index":
+            rows = payload[ti]
+        else:
+            raise ValueError(f"unknown gather_impl {gather_impl!r} "
+                             "(expected index|onehot)")
+        tc_parts.append(tc)
+        gidx_parts.append(ti + jnp.int32(offset))
+        pay_parts.append(rows)
+        offset += A_l
+
+    tc_m = jnp.concatenate(tc_parts)                   # [M], M <= 3K
+    gidx_m = jnp.concatenate(gidx_parts)               # [M]
+    pay_m = jnp.concatenate(pay_parts, axis=0)         # [M, 119]
+    m = tc_m.shape[0]
+
+    _, _, tc_sorted, pos_sorted = jax.lax.sort(
+        (-total_order_key(tc_m), gidx_m, tc_m,
+         jnp.arange(m, dtype=jnp.int32)), num_keys=2)
+    top_conf, sel_pos = tc_sorted[:k], pos_sorted[:k]
+    valid = top_conf > 0.0
+    if gather_impl == "onehot":
+        oh = sel_pos[:, None] == jnp.arange(m, dtype=jnp.int32)
+        rows = onehot_select(oh, pay_m)                # [k, 119]
+    else:
+        rows = pay_m[sel_pos]
+    anchors, strides = rows[:, :2], rows[:, 2]
+    conf_sel = rows[:, 3]
+    bl, kpt_sel = rows[:, 4:68], rows[:, 68:]
+    return _decode_candidate_tail(valid, conf_sel, bl, kpt_sel,
+                                  anchors, strides, k)
+
+
+def _decode_candidate_tail(valid, conf_sel, bl, kpt_sel, anchors,
+                           strides, k: int) -> Detections:
+    """Shared per-candidate decode tail (DFL softmax expectation, box
+    assembly, keypoint decode, validity masking) for the post-concat
+    (decode_topk) and tail-fused (decode_topk_levels) selection paths —
+    identical math on identical candidate rows by construction."""
+    from ..models.yolo_pose import REG_MAX
+
     prob = jax.nn.softmax(bl.reshape(k, 4, REG_MAX), axis=-1)
     d = jnp.einsum("kfr,r->kf", prob,
                    jnp.arange(REG_MAX, dtype=jnp.float32),

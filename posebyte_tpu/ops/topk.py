@@ -59,6 +59,21 @@ def onehot_select(onehot_bool: jnp.ndarray, payload: jnp.ndarray):
         preferred_element_type=jnp.float32)
 
 
+def total_order_key(r32: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving non-negative int32 key matching lax.top_k's
+    bit-level TOTAL order on the decode ranking domain (all negative
+    entries equal one filler value; non-negative entries arbitrary
+    finite floats): negative non-zero -> 0; -0.0 -> 1; x >= +0.0 ->
+    bits(x) + 2 (IEEE-754 bit patterns of non-negative floats are
+    monotone in the value; max finite bits + 2 < 2^31, so negation is
+    safe for descending sorts). Under this key -0.0 < +0.0 strictly,
+    exactly as lax.top_k's comparator orders them."""
+    r32 = r32.astype(jnp.float32)
+    bits = lax.bitcast_convert_type(r32, jnp.int32)
+    return jnp.where(bits >= 0, bits + 2,
+                     jnp.where(r32 == 0, jnp.int32(1), jnp.int32(0)))
+
+
 def topk_masked_bisect(ranked: jnp.ndarray, k: int):
     """Exact `lax.top_k(ranked, k)` for 1-D `ranked` whose negative
     entries (if any) all equal one filler value; non-negative entries
@@ -72,15 +87,7 @@ def topk_masked_bisect(ranked: jnp.ndarray, k: int):
     if k >= A:
         return lax.top_k(ranked, k)     # degenerate; nothing to save
     r32 = ranked.astype(jnp.float32)
-
-    # Order-preserving non-negative int32 key matching lax.top_k's
-    # bit-level TOTAL order (under which -0.0 < +0.0 strictly):
-    # negative non-zero (the -1.0 filler) -> 0; -0.0 -> 1;
-    # x >= +0.0 -> bits(x) + 2 (IEEE-754 bit patterns of non-negative
-    # floats are monotone in the value; max finite bits + 2 < 2^31).
-    bits = lax.bitcast_convert_type(r32, jnp.int32)
-    key = jnp.where(bits >= 0, bits + 2,
-                    jnp.where(r32 == 0, jnp.int32(1), jnp.int32(0)))
+    key = total_order_key(r32)
 
     # MSB radix-select: p ends as the largest key value t with
     # count(key >= t) >= k, i.e. exactly the k-th largest key.

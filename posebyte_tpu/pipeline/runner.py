@@ -28,7 +28,8 @@ import numpy as np
 from ..core.config import DetectorConfig, PipelineConfig
 from ..core.structs import TrackerState
 from ..models import build_model, build_model_heads
-from ..ops.decode import decode_topk
+from ..models.yolo_pose import build_model_head_maps
+from ..ops.decode import decode_topk, decode_topk_levels
 from ..ops.nms import pose_nms
 from ..ops.preprocess import letterbox_flat_nhwc, letterbox_params
 from ..tracker.output import extract_outputs_device, TrackOutput
@@ -48,6 +49,23 @@ def detect_fn(params, image_hwc, det_cfg: DetectorConfig, heads_fn):
                       det_cfg.max_candidates, det_cfg.input_size,
                       topk_impl=det_cfg.topk_impl,
                       gather_impl=det_cfg.gather_impl)
+    return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
+                    det_cfg.max_detections, presorted=True)
+
+
+def detect_fn_levels(params, image_hwc, det_cfg: DetectorConfig,
+                     head_maps_fn):
+    """Single-image detect via the tail-fused decode
+    (DetectorConfig.decode_fusion == "tail"): per-level top-K on the
+    conv-native head layout, exact merge, shared decode tail —
+    bit-identical Detections to detect_fn (decode_topk_levels
+    docstring has the proof; tests/test_decode_fusion.py pins it)."""
+    maps = head_maps_fn(params, image_hwc[None])
+    levels = tuple((b[0], c[0], k[0]) for b, c, k in maps)
+    det = decode_topk_levels(levels, det_cfg.conf_threshold,
+                             det_cfg.max_candidates, det_cfg.input_size,
+                             topk_impl=det_cfg.topk_impl,
+                             gather_impl=det_cfg.gather_impl)
     return pose_nms(det, det_cfg.iou_threshold, det_cfg.oks_threshold,
                     det_cfg.max_detections, presorted=True)
 
@@ -82,12 +100,17 @@ class PosePipeline:
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
         self.dtype = dtype
+        self.head_maps_fn = None
         if heads_fn is not None:
+            # injected detector (oracle/GT): no per-level surface, so
+            # decode_fusion == "tail" silently falls back to "post"
             self.apply_fn = None
             self.heads_fn = heads_fn
         else:
             self.apply_fn, init_fn = build_model(config.model_name, dtype)
             self.heads_fn, _ = build_model_heads(config.model_name, dtype)
+            self.head_maps_fn = build_model_head_maps(
+                config.model_name, dtype)
             if params is None:
                 params = init_fn(jax.random.PRNGKey(seed))
         self.params = params
@@ -111,6 +134,9 @@ class PosePipeline:
         det_cfg = self.config.detector
         trk_cfg = self.config.tracker
         heads_fn = self.heads_fn
+        head_maps_fn = self.head_maps_fn
+        use_tail = (det_cfg.decode_fusion == "tail"
+                    and head_maps_fn is not None)
 
         # bf16 letterbox output halves the materialized image buffer;
         # identical model inputs (the model casts to bf16 anyway). The
@@ -130,7 +156,11 @@ class PosePipeline:
                                       det_cfg.input_size,
                                       out_dtype=lb_dtype,
                                       selection=batch1_selection_override())
-            det = detect_fn(params, img, det_cfg, heads_fn)
+            if use_tail:
+                det = detect_fn_levels(params, img, det_cfg,
+                                       head_maps_fn)
+            else:
+                det = detect_fn(params, img, det_cfg, heads_fn)
             emb = None
             if trk_cfg.reid_weight > 0.0:
                 emb = self._embed_fn()(img, det.poses)
@@ -161,6 +191,9 @@ class PosePipeline:
         det_cfg = self.config.detector
         trk_cfg = self.config.tracker
         heads_fn = self.heads_fn
+        head_maps_fn = self.head_maps_fn
+        use_tail = (det_cfg.decode_fusion == "tail"
+                    and head_maps_fn is not None)
 
         lb_dtype = self.dtype if trk_cfg.reid_weight == 0.0 \
             else jnp.float32
@@ -174,19 +207,37 @@ class PosePipeline:
                                               det_cfg.input_size,
                                               out_dtype=lb_dtype)
             )(frames_flat_u8)                          # [K, S, S, 3]
-            box, cls, kpt = heads_fn(params, imgs)
 
-            def decode_one(b, c, k):
-                det = decode_topk(b, c, k, det_cfg.conf_threshold,
-                                  det_cfg.max_candidates,
-                                  det_cfg.input_size,
-                                  topk_impl=det_cfg.topk_impl,
-                                  gather_impl=det_cfg.gather_impl)
-                return pose_nms(det, det_cfg.iou_threshold,
-                                det_cfg.oks_threshold,
-                                det_cfg.max_detections, presorted=True)
+            if use_tail:
+                maps = head_maps_fn(params, imgs)      # per-level K-maps
 
-            dets = jax.vmap(decode_one)(box, cls, kpt)  # leading K axis
+                def decode_one_lv(lv):
+                    det = decode_topk_levels(
+                        lv, det_cfg.conf_threshold,
+                        det_cfg.max_candidates, det_cfg.input_size,
+                        topk_impl=det_cfg.topk_impl,
+                        gather_impl=det_cfg.gather_impl)
+                    return pose_nms(det, det_cfg.iou_threshold,
+                                    det_cfg.oks_threshold,
+                                    det_cfg.max_detections,
+                                    presorted=True)
+
+                dets = jax.vmap(decode_one_lv)(maps)   # leading K axis
+            else:
+                box, cls, kpt = heads_fn(params, imgs)
+
+                def decode_one(b, c, k):
+                    det = decode_topk(b, c, k, det_cfg.conf_threshold,
+                                      det_cfg.max_candidates,
+                                      det_cfg.input_size,
+                                      topk_impl=det_cfg.topk_impl,
+                                      gather_impl=det_cfg.gather_impl)
+                    return pose_nms(det, det_cfg.iou_threshold,
+                                    det_cfg.oks_threshold,
+                                    det_cfg.max_detections,
+                                    presorted=True)
+
+                dets = jax.vmap(decode_one)(box, cls, kpt)
 
             # TPU: the whole K-frame tracker recurrence as ONE fused
             # Pallas kernel with the state VMEM-resident across frames

@@ -82,6 +82,12 @@ def main():
                         "process per value)")
     p.add_argument("--topk", choices=["sort", "bisect", "approx"],
                    default="sort")
+    p.add_argument("--fusion", choices=["post", "tail"], default="post",
+                   help="decode_fusion placement (r4 VERDICT item 4): "
+                        "post = select after level concat; tail = "
+                        "per-level top-K fused into the model tail "
+                        "(ops/decode.py::decode_topk_levels). One "
+                        "process per value.")
     args = p.parse_args()
 
     if args.leg == "selection":
@@ -95,11 +101,13 @@ def main():
     H, W = 720, 1280
     rng = np.random.default_rng(7)
     cfg = PipelineConfig(detector=DetectorConfig(
-        gather_impl=args.gather, topk_impl=args.topk))
+        gather_impl=args.gather, topk_impl=args.topk,
+        decode_fusion=args.fusion))
     pipe = PosePipeline(cfg)
     rows = {f"frame_exec_ms_{args.leg}": round(
         measure(pipe, rng, np, jax, args.iters, H, W), 3),
-        "gather_impl": args.gather, "topk_impl": args.topk}
+        "gather_impl": args.gather, "topk_impl": args.topk,
+        "decode_fusion": args.fusion}
     print(json.dumps(rows))
     return 0
 

@@ -38,6 +38,14 @@ def main():
     p.add_argument("--streams", type=int, default=8)
     p.add_argument("--iters", type=int, default=256)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--gather", choices=["onehot", "index"],
+                   default="onehot",
+                   help="decode gather_impl (ADVICE r3: validate the "
+                        "onehot default at the 8-stream serving shape; "
+                        "one process per value). NOTE: production "
+                        "_single_stream_step forces the dense letterbox "
+                        "(selection=False) since r3, so --leg fast IS "
+                        "the production lowering here.")
     args = p.parse_args()
 
     import jax
@@ -49,12 +57,13 @@ def main():
         preprocess._selection_strides.cache_clear()
         preprocess._selection_strides = lambda *a: None
 
-    from posebyte_tpu.core.config import PipelineConfig
+    from posebyte_tpu.core.config import DetectorConfig, PipelineConfig
     from posebyte_tpu.pipeline.serving import StreamServer
 
     H, W, N = 720, 1280, args.streams
     srv = StreamServer(num_streams=N, frame_shape=(H, W),
-                       config=PipelineConfig())
+                       config=PipelineConfig(detector=DetectorConfig(
+                           gather_impl=args.gather)))
 
     rng = np.random.default_rng(11)
     # 4 staged input banks (distinct content so the relay can't memoize
@@ -84,6 +93,7 @@ def main():
 
     print(json.dumps({
         f"serving_step_ms_{args.leg}": round(best, 3),
+        "gather_impl": args.gather,
         "streams": N, "iters": args.iters,
         "per_stream_frame_ms": round(best / N, 4),
         "fps_per_stream": round(1e3 / best, 1),
