@@ -38,6 +38,14 @@ def main(argv=None):
                         "exists (skips image calibration), written after "
                         "calibrating otherwise (parity: TensorRT "
                         "calibrator cache)")
+    p.add_argument("--calib-method", default="percentile",
+                   choices=["percentile", "entropy"],
+                   help="int8 activation calibration algorithm: "
+                        "percentile = robust 99.9th-pct minmax "
+                        "(default); entropy = the reference's "
+                        "KL-divergence clip search "
+                        "(Int8EntropyCalibrator2 parity, "
+                        "yolo_pose_engine.cpp:56-164)")
     p.add_argument("--allow-synthetic-calib", action="store_true",
                    help="permit int8 activation calibration on synthetic "
                         "frames when no images/cache are given "
@@ -71,7 +79,8 @@ def main(argv=None):
         params = calibrate_and_quantize(
             params, name, args.calib, args.size,
             cache_path=args.calib_cache,
-            synthetic_fallback=args.allow_synthetic_calib)
+            synthetic_fallback=args.allow_synthetic_calib,
+            method=args.calib_method)
 
     save_params(params, args.output, name)
     size_mb = os.path.getsize(args.output) / 1e6

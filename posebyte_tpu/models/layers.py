@@ -53,6 +53,54 @@ def conv_init(key, c_in: int, c_out: int, k: int = 1):
 # Active calibration recorder (models/quant.py sets this in eager mode
 # to collect per-conv activation ranges; None in production).
 _CALIBRATION_RECORDER = None
+# "percentile" (per-image 99.9th |x| percentiles) or "entropy"
+# (streaming |x| histograms for the TensorRT-style KL threshold
+# search, models/quant.py::_kl_threshold).
+_CALIBRATION_METHOD = "percentile"
+
+
+class _EntropyHist:
+    """Streaming |activation| histogram with a growable range (2048
+    bins) — the collection half of TensorRT's Int8EntropyCalibrator2
+    (reference: yolo_pose_engine.cpp:56-142). When a batch exceeds the
+    current range the bin width doubles and adjacent bins merge, so
+    one pass over the calibration set suffices."""
+    NBINS = 2048
+
+    def __init__(self):
+        import numpy as _np
+        self.counts = _np.zeros(self.NBINS, _np.int64)
+        self.width = 0.0
+
+    def update(self, absx):
+        import numpy as _np
+        if absx.size == 0:
+            return
+        amax = float(absx.max())
+        if amax == 0.0:
+            return
+        if self.width == 0.0:
+            self.width = amax / self.NBINS
+        while amax > self.NBINS * self.width:
+            merged = self.counts[0::2] + self.counts[1::2]
+            self.counts = _np.concatenate(
+                [merged, _np.zeros(self.NBINS // 2, _np.int64)])
+            self.width *= 2.0
+        idx = _np.minimum((absx / self.width).astype(_np.int64),
+                          self.NBINS - 1)
+        self.counts += _np.bincount(idx, minlength=self.NBINS) \
+            .astype(_np.int64)
+
+
+def _record_calibration(recorder, method, params, x):
+    import numpy as _np
+    if method == "entropy":
+        hist = recorder.setdefault(id(params), _EntropyHist())
+        hist.update(_np.abs(_np.asarray(x, _np.float32)).ravel())
+    else:
+        # per-image 99.9th-percentile |x| (clips in-image outliers)
+        recorder.setdefault(id(params), []).append(
+            float(jnp.percentile(jnp.abs(x.astype(jnp.float32)), 99.9)))
 
 
 def conv2d(params, x, stride: int = 1, groups: int = 1):
@@ -68,11 +116,8 @@ def conv2d(params, x, stride: int = 1, groups: int = 1):
           engines (yolo_pose_engine.cpp:243-332).
     """
     if _CALIBRATION_RECORDER is not None:
-        # per-image 99.9th-percentile |x| (clips in-image outliers; the
-        # robust-calibration analog of the reference's entropy
-        # calibrator, yolo_pose_engine.cpp:56-142)
-        _CALIBRATION_RECORDER.setdefault(id(params), []).append(
-            float(jnp.percentile(jnp.abs(x.astype(jnp.float32)), 99.9)))
+        _record_calibration(_CALIBRATION_RECORDER, _CALIBRATION_METHOD,
+                            params, x)
 
     k = params["w"].shape[0]
     pad = k // 2

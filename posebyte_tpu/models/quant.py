@@ -132,19 +132,71 @@ def _load_calibration_images(calib_dir: str, input_size: int,
     return np.transpose(np.stack(imgs), (0, 2, 3, 1)).astype(np.float32)
 
 
+def _kl_threshold(counts: np.ndarray, width: float,
+                  n_quant: int = 128, start_bin: int = 128) -> float:
+    """TensorRT-style entropy calibration threshold (the search half of
+    Int8EntropyCalibrator2, reference yolo_pose_engine.cpp:56-164;
+    algorithm re-derived from NVIDIA's published 8-bit-inference
+    description, not a port): over candidate clip points i (in bins),
+    pick the one minimizing KL(P_i || Q_i) where P_i is the observed
+    |activation| histogram clipped at bin i (outlier mass folded into
+    the last bin) and Q_i is P_i re-expressed with `n_quant` uniform
+    quantization levels (each level's mass spread evenly over its
+    nonzero source bins). Returns the clip threshold in activation
+    units: (i + 0.5) * width for the best i.
+    """
+    nbins = counts.shape[0]
+    total = counts.sum()
+    if total == 0 or width == 0.0:
+        return 0.0
+    cnt = counts.astype(np.float64)
+    tail = np.concatenate([cnt[::-1].cumsum()[::-1], [0.0]])  # sum i..
+    best_kl, best_i = np.inf, nbins
+    for i in range(start_bin, nbins + 1):
+        p = cnt[:i].copy()
+        p[i - 1] += tail[i]                 # clip: outliers -> last bin
+        nz = cnt[:i] > 0
+        gid = (np.arange(i) * n_quant) // i  # bin -> quant level
+        sums = np.bincount(gid, weights=cnt[:i], minlength=n_quant)
+        nnz = np.bincount(gid, weights=nz.astype(np.float64),
+                          minlength=n_quant)
+        q = np.where(nz, (sums / np.maximum(nnz, 1.0))[gid], 0.0)
+        p /= p.sum()
+        qs = q.sum()
+        if qs == 0.0:
+            continue
+        q /= qs
+        mask = p > 0
+        kl = float(np.sum(p[mask] *
+                          np.log(p[mask] / np.maximum(q[mask], 1e-12))))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return (best_i + 0.5) * width
+
+
 def calibrate_activations(qparams, name: str, images: np.ndarray,
-                          percentile_headroom: float = 1.0):
+                          percentile_headroom: float = 1.0,
+                          method: str = "percentile"):
     """Collect per-conv activation amax by running the model eagerly
     with a recorder hooked into layers.conv2d, then attach
     `act_scale = amax / 127` to every already-weight-quantized conv —
     enabling the full int8 (w8a8) MXU path.
 
-    This is the minmax analog of the reference's entropy calibration
-    (Int8EntropyCalibrator, yolo_pose_engine.cpp:56-164); the recorded
-    scales are the calibration cache and serialize with the engine.
+    method="percentile" (default) records per-image 99.9th-percentile
+    |x| and scales from their max — robust minmax, the documented
+    divergence from the reference (docs/FIDELITY.md #7).
+    method="entropy" reproduces the reference's algorithm family:
+    streaming 2048-bin |x| histograms (layers._EntropyHist) + the
+    KL-divergence clip search (_kl_threshold) of TensorRT's
+    Int8EntropyCalibrator2 (yolo_pose_engine.cpp:56-164).
+    The recorded scales are the calibration cache and serialize with
+    the engine either way.
     """
     from . import layers as L
     from .yolo_pose import MODEL_CONFIGS, forward_raw
+    if method not in ("percentile", "entropy"):
+        raise ValueError(f"unknown calibration method {method!r} "
+                         "(expected percentile|entropy)")
     if jax.default_backend() != "cpu":
         print("[quant] NOTE: activation calibration runs EAGERLY (the "
               "recorder reads concrete values) — on remote/tunneled "
@@ -154,6 +206,7 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
               "scales over via --calib-cache.")
     recorder: dict = {}
     L._CALIBRATION_RECORDER = recorder
+    L._CALIBRATION_METHOD = method
     try:
         # Batched passes: eager-mode op-dispatch overhead dominates
         # calibration time, and it is independent of batch size — one
@@ -167,6 +220,7 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
                         MODEL_CONFIGS[name].family)
     finally:
         L._CALIBRATION_RECORDER = None
+        L._CALIBRATION_METHOD = "percentile"
 
     n_attached = 0
 
@@ -174,9 +228,13 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
         nonlocal n_attached
         if isinstance(node, dict):
             if "scale" in node and id(node) in recorder:
-                # max over per-image 99.9th percentiles: robust to
-                # in-image outliers, conservative across images
-                amax = max(recorder[id(node)]) * percentile_headroom
+                if method == "entropy":
+                    hist = recorder[id(node)]
+                    amax = _kl_threshold(hist.counts, hist.width)
+                else:
+                    # max over per-image 99.9th percentiles: robust to
+                    # in-image outliers, conservative across images
+                    amax = max(recorder[id(node)]) * percentile_headroom
                 node["act_scale"] = jnp.asarray(
                     max(amax, 1e-6) / 127.0, jnp.float32)
                 n_attached += 1
@@ -188,8 +246,8 @@ def calibrate_activations(qparams, name: str, images: np.ndarray,
                 attach(v)
 
     attach(qparams)
-    print(f"[quant] activation calibration: {n_attached} int8 convs "
-          f"over {images.shape[0]} images")
+    print(f"[quant] activation calibration ({method}): {n_attached} "
+          f"int8 convs over {images.shape[0]} images")
     return qparams
 
 
@@ -197,7 +255,8 @@ def calibrate_and_quantize(params, name: str, calib_dir: str = "",
                            input_size: int = 640,
                            cache_path: str = "",
                            synthetic_fallback: bool = False,
-                           n_synthetic: int = 64):
+                           n_synthetic: int = 64,
+                           method: str = "percentile"):
     """Full INT8 build (export CLI): per-channel int8 weights with the
     partial-quantization policy, plus activation calibration for the
     w8a8 MXU path.
@@ -234,7 +293,8 @@ def calibrate_and_quantize(params, name: str, calib_dir: str = "",
               "activation scales are unvalidated; accuracy loss is "
               "unquantified. Provide -c <calib_dir> for real scales.")
     if images is not None:
-        qparams = calibrate_activations(qparams, name, images)
+        qparams = calibrate_activations(qparams, name, images,
+                                        method=method)
         if cache_path:
             n = save_calibration_cache(qparams, cache_path)
             print(f"[quant] wrote {n} activation scales to cache "
