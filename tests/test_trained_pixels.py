@@ -130,10 +130,33 @@ def test_trained_network_tracks_people_from_pixels(model, size, n_frames,
     assert s["id_switches"] <= 1, s
 
 
-def test_trained_int8_agreement_is_real():
+# Per-method accuracy bars, each ~5% under its measured value (same
+# discipline as CASES above). MEASURED (r4, trained v8n@256 weights,
+# 4 rendered calib frames, deterministic): percentile agreement
+# mAP 0.913 / AP50 1.0, vs-GT 0.911; entropy agreement mAP 0.672 /
+# AP50 1.0, vs-GT mAP 0.678 / AP50 0.941.
+# Entropy (the reference's Int8EntropyCalibrator2 family)
+# LOSES on keypoint agreement because the KL clip search on the
+# background-dominated kpt-head activations (/head/cv4*) picks
+# thresholds at 0.15-0.25x the percentile range — resolution for the
+# near-zero anchor bulk, saturation for the actual keypoint-offset
+# signal. Root-cause data in docs/ROADMAP.md (negative results) and
+# the divergence entry in docs/FIDELITY.md; percentile stays the
+# default WITH this measurement as the reason.
+_CALIB_BARS = {"percentile": dict(agree=0.86, agree_ap50=0.95, gt=0.86),
+               "entropy": dict(agree=0.63, agree_ap50=0.95, gt=0.63)}
+
+
+@pytest.mark.parametrize("method", ["percentile", "entropy"])
+def test_trained_int8_agreement_is_real(method):
     """The int8 accuracy delta measured with TRAINED weights and real
     (rendered-frame) activation calibration — the re-run VERDICT r2
-    weak item 3 asks for; random-weight agreement is only plumbing."""
+    weak item 3 asks for; random-weight agreement is only plumbing.
+    Parametrized over both calibration algorithms (r4) with per-method
+    measured bars (_CALIB_BARS): the entropy/KL path
+    (models/quant._kl_threshold) is pinned at its own measured level so
+    a regression in EITHER calibrator is caught, while documenting that
+    entropy measures materially below percentile on this task."""
     import jax.numpy as jnp
     from posebyte_tpu.models import build_model_heads
     from posebyte_tpu.models.quant import (calibrate_activations,
@@ -154,7 +177,7 @@ def test_trained_int8_agreement_is_real():
     # real calibration: rendered letterboxed frames through the net
     calib = np.stack([np.asarray(lb(f)) for f in frames[:4]])
     qparams = quantize_params(params)
-    qparams = calibrate_activations(qparams, name, calib)
+    qparams = calibrate_activations(qparams, name, calib, method=method)
 
     def detect(pv, img):
         box, cls, kpt = heads_fn(pv, img[None])
@@ -182,9 +205,11 @@ def test_trained_int8_agreement_is_real():
         gt_lb[:, :, :2] = gt[:, :, :2] * scale + (pad_x, pad_y)
         gt_used.append(gt_lb)
 
-    # int8 vs float agreement
+    # int8 vs float agreement (per-method measured bars, see _CALIB_BARS)
+    bars = _CALIB_BARS[method]
     m = keypoint_map(refs, preds, scores)
-    assert m["mAP"] >= 0.8, m
+    assert m["mAP"] >= bars["agree"], (method, m)
+    assert m["AP50"] >= bars["agree_ap50"], (method, m)
     # and int8 still finds the actual people (vs GT, not just vs float)
     m_gt = keypoint_map(gt_used, preds, scores)
-    assert m_gt["mAP"] >= 0.7, m_gt
+    assert m_gt["mAP"] >= bars["gt"], (method, m_gt)
