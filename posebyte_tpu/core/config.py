@@ -97,6 +97,10 @@ class DetectorConfig:
     # Default "onehot": won the measured matrix (BENCH_DECODE_AB_r03)
     # and every adjacent pair of the interleaved confirmation
     # (BENCH_DECODE_AB_CONFIRM_r03: +2.2..+4.7% e2e vs "index").
+    # Re-validated post-letterbox-fix at the other production batch
+    # shapes (BENCH_GATHER_AB_r04, one process per leg): batch 1
+    # frame_exec 1.736 vs 2.648 ms, 8-stream serving 146.8 vs 145.8
+    # FPS/stream — onehot wins or ties everywhere.
     gather_impl: str = "onehot"
     # Candidate-selection placement (r4, VERDICT r3 item 4):
     # "post" = select top-K AFTER concatenating the three pyramid
