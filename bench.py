@@ -106,11 +106,18 @@ def main():
                           jnp.uint8(salt))        # compile + warm
     _ = int(jax.device_get(na)[-1])
     pipe.state = state
-    t_start = time.perf_counter()
-    pipe.state, na = bench_jit(pipe.params, pipe.state, bases,
-                               jnp.uint8(salt + 1))
-    _ = int(jax.device_get(na)[-1])
-    total = time.perf_counter() - t_start
+    # min over 3 timed reps (distinct salts -> distinct traffic, so the
+    # relay can't memoize across reps): the relay intermittently
+    # degrades for minutes at a time (multi-second fetch stalls were
+    # observed mid-r4 inflating this leg 4x); min-over-reps is the same
+    # defense the frame_exec leg below has always used.
+    total = 1e30
+    for rep in range(1, 4):
+        t_start = time.perf_counter()
+        pipe.state, na = bench_jit(pipe.params, pipe.state, bases,
+                                   jnp.uint8(salt + rep))
+        _ = int(jax.device_get(na)[-1])
+        total = min(total, time.perf_counter() - t_start)
     n_frames = n_chunks * K
     fps = n_frames / total
 
@@ -275,11 +282,14 @@ def main():
         qstate, qna = qbench_jit(qpipe.params, qpipe.state, bases,
                                  jnp.uint8(salt + 31))   # compile+warm
         _ = int(jax.device_get(qna)[-1])
-        t0 = time.perf_counter()
-        _, qna = qbench_jit(qpipe.params, qstate, bases,
-                            jnp.uint8(salt + 32))
-        _ = int(jax.device_get(qna)[-1])
-        int8_fps = n_frames / (time.perf_counter() - t0)
+        qtotal = 1e30                    # min over 2 reps (see above)
+        for rep in range(32, 34):
+            t0 = time.perf_counter()
+            qstate, qna = qbench_jit(qpipe.params, qstate, bases,
+                                     jnp.uint8(salt + rep))
+            _ = int(jax.device_get(qna)[-1])
+            qtotal = min(qtotal, time.perf_counter() - t0)
+        int8_fps = n_frames / qtotal
         int8_fields = {
             "int8_fps": round(float(int8_fps), 2),
             "int8_vs_bf16": round(float(int8_fps / fps), 4),
