@@ -169,9 +169,16 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
             img, (y0, x0, 0),
             (y0 + sy * (new_h - 1) + 1, x0 + sx * (new_w - 1) + 1, 3),
             (sy, sx, 1))
-        content = content.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         if bgr_to_rgb:
+            # flip channels on the u8 content, BEFORE the f32 convert:
+            # XLA materializes this reverse either way (minor-dim-3
+            # tiled layout), but on u8 content it moves 4x fewer bytes
+            # than on the f32 tensor it used to sit after — the reverse
+            # was 0.016 ms/frame of the chunk step, 2nd-largest non-conv
+            # op in the r4 device profile (PROFILE_r04.json). Identical
+            # output (the flip commutes with the elementwise convert).
             content = content[..., ::-1]
+        content = content.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         out = jnp.pad(
             content,
             ((pad_y, target - new_h - pad_y),
