@@ -111,7 +111,17 @@ class DetectorConfig:
     # head tensors are never materialized. Bit-identical outputs for
     # topk_impl in {sort, bisect} (proof in decode_topk_levels's
     # docstring; equivalence pinned by tests/test_decode_fusion.py).
+    # NOTE: only PosePipeline honors "tail"; the serving classes
+    # (StreamServer/ChunkedStreamServer/MultiStream*Pipeline) always
+    # use the post-concat decode ("tail" measured NO-GO at the chunk
+    # shapes they run — BENCH_DECODE_FUSION_AB_r04.json).
     decode_fusion: str = "post"
+
+    def __post_init__(self):
+        if self.decode_fusion not in ("post", "tail"):
+            raise ValueError(
+                f"decode_fusion must be 'post' or 'tail', got "
+                f"{self.decode_fusion!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -118,7 +118,12 @@ def main():
                             x0, (salt + i).astype(jnp.int8) & 7)
                     else:
                         xx = x0 + (salt + i).astype(jnp.bfloat16) * 1e-3
-                    return x, fn(xx)[0, 0, 0, 0].astype(jnp.float32)
+                    # consume a FULL reduction of the output: a single
+                    # sliced element would let XLA legally
+                    # strength-reduce the conv/einsum variants while the
+                    # opaque pallas_call cannot be shrunk, biasing the
+                    # A/B against the Pallas kernel
+                    return x, fn(xx).astype(jnp.float32).sum()
                 return lax.scan(body, x0, jnp.arange(args.iters))
 
             jl = jax.jit(loop)

@@ -137,10 +137,12 @@ def main():
             ranked = jnp.where(conf >= det_cfg.conf_threshold, conf, -1.0)
             tc, ti = topk_confidence(ranked, det_cfg.max_candidates,
                                      det_cfg.topk_impl)
-            # consume box/kpt so the forward isn't partially DCE'd
+            # consume box/kpt FULLY so no slice of the forward can be
+            # strength-reduced (a [0, 0] probe would let XLA legally
+            # shrink the head convs feeding it)
             return (tc.sum() + ti.sum().astype(jnp.float32)
-                    + b[0, 0].astype(jnp.float32)
-                    + k[0, 0].astype(jnp.float32))
+                    + b.astype(jnp.float32).sum()
+                    + k.astype(jnp.float32).sum())
 
         return state, jax.vmap(tk)(cls, box, kpt).sum()
 

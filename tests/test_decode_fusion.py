@@ -42,7 +42,11 @@ def _random_levels(rng, mode="normal"):
 @pytest.mark.parametrize("gather_impl", ["index", "onehot"])
 @pytest.mark.parametrize("topk_impl", ["sort", "bisect"])
 def test_levels_bit_identical_to_concat(mode, gather_impl, topk_impl):
-    rng = np.random.default_rng(hash((mode, gather_impl)) % 2**31)
+    # zlib.crc32, not hash(): Python string hashing is salted per
+    # process, which would make any bit-identity failure irreproducible.
+    import zlib
+    seed = zlib.crc32(f"{mode}/{gather_impl}/{topk_impl}".encode())
+    rng = np.random.default_rng(seed)
     levels = _random_levels(rng, mode)
     box = jnp.concatenate([l[0] for l in levels])
     cls = jnp.concatenate([l[1] for l in levels])

@@ -44,7 +44,6 @@ def test_hist_streaming_matches_oneshot():
     # aligning geometries onto the coarser width
     def rebin(h, width, k=16):
         edges = np.arange(h.NBINS) * h.width
-        tgt = (edges / width * h.NBINS // h.NBINS).astype(int)
         tgt = np.minimum((edges // (width * h.NBINS / k)).astype(int),
                          k - 1)
         return np.bincount(tgt, weights=h.counts, minlength=k)
