@@ -50,7 +50,9 @@ def main():
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
             gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot"),
             decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION",
-                                         "post")),
+                                         "post"),
+            raw_preproc=os.environ.get(
+                "POSEBYTE_RAW_PREPROC", "0") == "1"),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",
@@ -339,6 +341,7 @@ def main():
         "topk_impl": config.detector.topk_impl,
         "gather_impl": config.detector.gather_impl,
         "decode_fusion": config.detector.decode_fusion,
+        "raw_preproc": config.detector.raw_preproc,
     }
     print(json.dumps(result))
 

@@ -116,6 +116,17 @@ class DetectorConfig:
     # use the post-concat decode ("tail" measured NO-GO at the chunk
     # shapes they run — BENCH_DECODE_FUSION_AB_r04.json).
     decode_fusion: str = "post"
+    # Raw-ingest preprocessing (r5): letterbox emits the UN-normalized
+    # BGR uint8 letterbox (ops/preprocess.py raw=True) and the BGR->RGB
+    # flip + /255 are folded into the stem conv weights at
+    # pipeline/server construction (models.weights.fold_stem_preprocess)
+    # — deletes the materialized channel reverse (0.016 ms/frame,
+    # PROFILE_r04.json) and the /255 multiply from the per-frame graph.
+    # Exact in f32 (linearity); bf16 equivalence pinned by
+    # tests/test_preprocess_fold.py. Constructors that take an injected
+    # detector (oracle heads_fn) force this off — there are no stem
+    # weights to fold.
+    raw_preproc: bool = False
 
     def __post_init__(self):
         if self.decode_fusion not in ("post", "tail"):

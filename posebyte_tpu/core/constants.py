@@ -95,3 +95,4 @@ DEFAULT_MAX_DETECTIONS = 64
 DEFAULT_NUM_ANCHORS = 8400       # 640x640 at strides 8/16/32
 DEFAULT_INPUT_SIZE = 640
 LETTERBOX_PAD_VALUE = 114.0 / 255.0  # gray padding (preprocess.cu:43)
+LETTERBOX_PAD_RAW = 114              # same gray, un-normalized (raw mode)

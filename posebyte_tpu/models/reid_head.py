@@ -53,11 +53,18 @@ def init_reid_head(key, hidden: int = HIDDEN) -> dict:
 
 
 def _sample_patches(image_hwc: jnp.ndarray,
-                    poses: jnp.ndarray) -> jnp.ndarray:
+                    poses: jnp.ndarray,
+                    raw_input: bool = False) -> jnp.ndarray:
     """Bilinear PxP patch per keypoint: [N, 17, PATCH*PATCH*3] f32.
 
     Same sampling scheme as ops/reid.pose_color_embedding, widened to a
     patch; coordinates clamp to the image so edge poses stay valid.
+
+    raw_input: the image is the raw-mode letterbox (BGR, 0..255,
+    possibly uint8 — see ops/preprocess.py raw=True). The flip+scale
+    are applied to the SAMPLED values ([N,17,PP,3], a few KB) instead
+    of the full image, so the MLP sees the same normalized-RGB patches
+    it was trained on.
     """
     S = image_hwc.shape[0]
     img = image_hwc.astype(jnp.float32)
@@ -82,20 +89,23 @@ def _sample_patches(image_hwc: jnp.ndarray,
          + at(y0, x0 + 1) * fx * (1 - fy)
          + at(y0 + 1, x0) * (1 - fx) * fy
          + at(y0 + 1, x0 + 1) * fx * fy)                    # [N,17,PP,3]
+    if raw_input:
+        c = c[..., ::-1] * jnp.float32(1.0 / 255.0)
     return c.reshape(poses.shape[0], C.NUM_KEYPOINTS, IN_DIM)
 
 
 def apply_reid_head(params: dict, image_hwc: jnp.ndarray,
                     poses: jnp.ndarray,
-                    conf_gate: float = 0.2) -> jnp.ndarray:
+                    conf_gate: float = 0.2,
+                    raw_input: bool = False) -> jnp.ndarray:
     """[S,S,3] image + [N,17,3] poses -> L2-normalized [N, REID_DIM].
 
     Drop-in replacement for ops.reid.pose_color_embedding with the same
     visibility convention: keypoints with confidence <= conf_gate emit
     zero blocks, so the co-visibility cosine compares only shared
-    keypoints.
+    keypoints. raw_input: see _sample_patches.
     """
-    feats = _sample_patches(image_hwc, poses)               # [N,17,IN]
+    feats = _sample_patches(image_hwc, poses, raw_input)    # [N,17,IN]
     h = jax.nn.relu(feats @ params["w1"] + params["b1"])
     code = h @ params["w2"] + params["b2"]                  # [N,17,3]
     # tanh bounds the code so one keypoint cannot dominate the cosine

@@ -25,6 +25,7 @@ import pickle
 from collections import OrderedDict
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .yolo_pose import MODEL_CONFIGS, init_params
@@ -325,3 +326,35 @@ def load_params(path: str, name: str = None):
         return node   # Static metadata
 
     return fill(params), name
+
+
+def fold_stem_preprocess(params):
+    """Fold BGR->RGB + /255 normalization into the stem conv weights.
+
+    Returns a params pytree whose stem conv (`b0`, always float — it is
+    in quant.PARTIAL_QUANT_SKIP) has its INPUT channel axis reversed and
+    its weights scaled by 1/255, so that
+
+        conv(w_folded, raw_bgr_0_255) == conv(w, rgb_normalized)
+
+    exactly (the conv is linear in its input; the bias is untouched).
+    Pairs with ops.preprocess.letterbox_flat_nhwc(raw=True): together
+    they delete the materialized full-tensor channel reverse and the
+    /255 multiply from the per-frame graph (the reference pays neither —
+    its fused CUDA preprocess kernel normalizes in registers,
+    preprocess.cu:50-77; on TPU the fold moves that work into weights
+    loaded once).
+
+    Engine-level transform, applied at pipeline/server construction;
+    checkpoints on disk stay in the standard (unfolded) form.
+    """
+    b0 = params["b0"]
+    if "scale" in b0:
+        raise ValueError("stem conv is quantized; fold_stem_preprocess "
+                         "requires the float stem (PARTIAL_QUANT_SKIP)")
+    w = jnp.asarray(b0["w"])
+    folded = dict(b0)
+    folded["w"] = (w[:, :, ::-1, :] * jnp.asarray(1.0 / 255.0, w.dtype))
+    out = dict(params)
+    out["b0"] = folded
+    return out

@@ -56,11 +56,15 @@ def letterbox_params(input_width: int, input_height: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _interp_matrices(input_width: int, input_height: int, target: int):
+def _interp_matrices(input_width: int, input_height: int, target: int,
+                     norm: float = 1.0 / 255.0):
     """Static separable bilinear weights + content mask.
 
-    Returns (Wy [target, H] f32 with 1/255 folded in, Wx [target, W] f32,
-    content_mask [target, target] bool) as numpy constants.
+    Returns (Wy [target, H] f32 with `norm` folded in, Wx [target, W]
+    f32, content_mask [target, target] bool) as numpy constants.
+    norm=1/255 for the normalized path; 1.0 for the raw path (the /255
+    lives in the folded stem weights instead — see `raw` in
+    letterbox_flat_nhwc).
     """
     scale, new_w, new_h, pad_x, pad_y = letterbox_params(
         input_width, input_height, target)
@@ -76,7 +80,7 @@ def _interp_matrices(input_width: int, input_height: int, target: int):
         M[np.arange(n_out), i1] += (w1 * norm).astype(np.float32)
         return M
 
-    Wy = axis_matrix(target, input_height, pad_y, 1.0 / 255.0)
+    Wy = axis_matrix(target, input_height, pad_y, norm)
     Wx = axis_matrix(target, input_width, pad_x, 1.0)
 
     tx = np.arange(target)
@@ -127,13 +131,15 @@ def _selection_strides(input_width: int, input_height: int, target: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("input_width", "input_height", "target",
-                                    "bgr_to_rgb", "out_dtype", "selection"))
+                                    "bgr_to_rgb", "out_dtype", "selection",
+                                    "raw"))
 def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
                         input_height: int,
                         target: int = C.DEFAULT_INPUT_SIZE,
                         bgr_to_rgb: bool = True,
                         out_dtype=jnp.float32,
-                        selection: bool = True) -> jnp.ndarray:
+                        selection: bool = True,
+                        raw: bool = False) -> jnp.ndarray:
     """Flat uint8 [H*W*3] frame -> [target, target, 3] HWC float.
 
     The production path: flat-byte H2D, then EITHER a strided slice
@@ -157,6 +163,20 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
     step measured 4.00 ms with it vs 1.64 ms via the matmul path
     (scripts/bench_frame_exec_ab.py, v5e). Single-frame callers pass
     selection=False; both lowerings are bit-identical.
+
+    raw: emit the UN-normalized, UN-flipped letterbox — BGR channel
+    order, 0..255 value scale, gray-114 padding. Pairs with stem
+    weights transformed by models.weights.fold_stem_preprocess (input
+    channels reversed, scaled by 1/255): the conv is linear in its
+    input, so folded-weights(raw) == original-weights(normalized)
+    exactly in f32. This deletes the materialized full-tensor channel
+    reverse (0.016 ms/frame in PROFILE_r04.json) and the /255 multiply
+    from the per-frame graph, and lets the selection path emit uint8 —
+    the model's own input cast does the (exact: ints < 256) u8->bf16
+    convert. bgr_to_rgb is ignored when raw=True (the flip lives in
+    the folded weights). The raw selection path returns uint8
+    regardless of out_dtype; the matmul path returns out_dtype
+    (interpolated values are fractional).
     """
     sel = (_selection_strides(input_width, input_height, target)
            if selection else None)
@@ -169,6 +189,15 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
             img, (y0, x0, 0),
             (y0 + sy * (new_h - 1) + 1, x0 + sx * (new_w - 1) + 1, 3),
             (sy, sx, 1))
+        if raw:
+            # uint8 end-to-end: pad with the un-normalized gray value;
+            # no flip (folded into stem weights), no convert/multiply
+            # (the model's input cast converts; /255 is in the weights).
+            return jnp.pad(
+                content,
+                ((pad_y, target - new_h - pad_y),
+                 (pad_x, target - new_w - pad_x), (0, 0)),
+                constant_values=np.uint8(C.LETTERBOX_PAD_RAW))
         if bgr_to_rgb:
             # flip channels on the u8 content, BEFORE the f32 convert:
             # XLA materializes this reverse either way (minor-dim-3
@@ -186,8 +215,9 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
             constant_values=C.LETTERBOX_PAD_VALUE)
         return out.astype(out_dtype)
 
-    Wy_np, Wx_np, mask_np = _interp_matrices(input_width, input_height,
-                                             target)
+    Wy_np, Wx_np, mask_np = _interp_matrices(
+        input_width, input_height, target,
+        norm=1.0 if raw else 1.0 / 255.0)
     Wy = jnp.asarray(Wy_np)
     Wx = jnp.asarray(Wx_np)
     mask = jnp.asarray(mask_np)
@@ -200,6 +230,10 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
     # cols: contract W -> einsum on MXU
     out = jnp.einsum("ywc,xw->yxc", a, Wx,
                      preferred_element_type=jnp.float32)
+    if raw:
+        out = jnp.where(mask[..., None], out,
+                        jnp.float32(C.LETTERBOX_PAD_RAW))
+        return out.astype(out_dtype)
     if bgr_to_rgb:
         out = out[..., ::-1]
     out = jnp.where(mask[..., None], out, C.LETTERBOX_PAD_VALUE)

@@ -27,7 +27,7 @@ from ..core import constants as C
 REID_DIM = C.NUM_KEYPOINTS * 3
 
 
-def make_embed_fn(reid_params=None):
+def make_embed_fn(reid_params=None, raw_input: bool = False):
     """(image_hwc, poses) -> [N, 51] appearance embeddings.
 
     The single selection point for the appearance source, shared by
@@ -38,18 +38,29 @@ def make_embed_fn(reid_params=None):
     descriptor. Identical [N, 51] keypoint-blocked output layout either
     way, so tracker association and the fused Pallas kernel are
     agnostic to the source.
+
+    raw_input: the image is the raw-mode letterbox (BGR, 0..255 —
+    DetectorConfig.raw_preproc). Both sources then flip+scale the
+    SAMPLED values (tiny [N,17,...] tensors) so embeddings match the
+    normalized-RGB path — the full image is never re-normalized.
     """
     if reid_params is not None:
         from ..models.reid_head import apply_reid_head
-        return lambda img, poses: apply_reid_head(reid_params, img, poses)
+        return lambda img, poses: apply_reid_head(reid_params, img, poses,
+                                                  raw_input=raw_input)
+    if raw_input:
+        return lambda img, poses: pose_color_embedding(img, poses,
+                                                       raw_input=True)
     return pose_color_embedding
 
 
 def pose_color_embedding(image_hwc: jnp.ndarray,
-                         poses: jnp.ndarray) -> jnp.ndarray:
+                         poses: jnp.ndarray,
+                         raw_input: bool = False) -> jnp.ndarray:
     """Training-free appearance descriptor.
 
-    image_hwc: [S, S, 3] float (letterboxed model input, 0..1);
+    image_hwc: [S, S, 3] float (letterboxed model input, 0..1), or the
+    raw-mode letterbox (BGR 0..255, possibly uint8) with raw_input=True;
     poses: [N, 17, 3] (x, y in the same coords, conf). Returns
     L2-normalized [N, 51]: the image bilinearly sampled at each
     keypoint, weighted by keypoint confidence (invisible keypoints
@@ -74,6 +85,11 @@ def pose_color_embedding(image_hwc: jnp.ndarray,
          + at(y0, x0 + 1) * fx * (1 - fy)
          + at(y0 + 1, x0) * (1 - fx) * fy
          + at(y0 + 1, x0 + 1) * fx * fy)                    # [N,17,3]
+    if raw_input:
+        # flip+scale the sampled colors (not the image): matches the
+        # normalized-RGB descriptor (the 1/255 cancels in the L2 norm
+        # but keeps pre-norm values comparable across paths)
+        c = c[..., ::-1] * jnp.float32(1.0 / 255.0)
     c = c * (conf > 0.2)[..., None]
     emb = c.reshape(poses.shape[0], REID_DIM)
     norm = jnp.sqrt(jnp.sum(emb * emb, axis=-1, keepdims=True))

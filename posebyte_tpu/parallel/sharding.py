@@ -53,7 +53,8 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     # 6.8 ms/step (scripts/bench_serving_letterbox_ab.py, v5e); only
     # the K-frame chunk paths keep it. Bit-identical either way.
     img = letterbox_flat_nhwc(frame_u8.reshape(-1), w, h,
-                              det_cfg.input_size, selection=False)
+                              det_cfg.input_size, selection=False,
+                              raw=det_cfg.raw_preproc)
     box, cls, kpt = heads_fn(params, img[None])
     det = decode_topk(box[0], cls[0], kpt[0], det_cfg.conf_threshold,
                       det_cfg.max_candidates, det_cfg.input_size,
@@ -65,7 +66,7 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     if config.tracker.reid_weight > 0.0:
         if embed_fn is None:
             from ..ops.reid import make_embed_fn
-            embed_fn = make_embed_fn()
+            embed_fn = make_embed_fn(raw_input=det_cfg.raw_preproc)
         emb = embed_fn(img, det.poses)
     state, aux = tracker_step(state, det, config.tracker,
                               det_embeddings=emb)
@@ -97,6 +98,9 @@ class MultiStreamPipeline:
                                                    dtype)
         self.params = params if params is not None else \
             init_fn(jax.random.PRNGKey(seed))
+        if config.detector.raw_preproc:
+            from ..models.weights import fold_stem_preprocess
+            self.params = fold_stem_preprocess(self.params)
 
         stream = NamedSharding(self.mesh, P("stream"))
         replicated = NamedSharding(self.mesh, P())
@@ -109,9 +113,12 @@ class MultiStreamPipeline:
         self.params = jax.device_put(self.params, replicated)
 
         vstep = jax.vmap(
-            functools.partial(_single_stream_step, config=config,
-                              heads_fn=self.heads_fn,
-                              embed_fn=make_embed_fn(reid_params)),
+            functools.partial(
+                _single_stream_step, config=config,
+                heads_fn=self.heads_fn,
+                embed_fn=make_embed_fn(
+                    reid_params,
+                    raw_input=config.detector.raw_preproc)),
             in_axes=(None, 0, 0))
         self._step = jax.jit(
             vstep,
@@ -143,7 +150,8 @@ class MultiStreamChunkPipeline:
         from ..ops.decode import decode_topk as _decode_topk
         from ..ops.nms import pose_nms as _pose_nms
         from ..ops.reid import make_embed_fn
-        embed_fn = make_embed_fn(reid_params)
+        embed_fn = make_embed_fn(reid_params,
+                                 raw_input=config.detector.raw_preproc)
 
         self.config = config
         self.num_streams = num_streams
@@ -153,6 +161,9 @@ class MultiStreamChunkPipeline:
                                                    dtype)
         self.params = params if params is not None else \
             init_fn(jax.random.PRNGKey(seed))
+        if config.detector.raw_preproc:
+            from ..models.weights import fold_stem_preprocess
+            self.params = fold_stem_preprocess(self.params)
 
         stream = NamedSharding(self.mesh, P("stream"))
         replicated = NamedSharding(self.mesh, P())
@@ -169,7 +180,8 @@ class MultiStreamChunkPipeline:
 
         def per_stream(params, state, frames_flat, h, w):
             imgs = jax.vmap(
-                lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+                lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size,
+                                              raw=det_cfg.raw_preproc)
             )(frames_flat)                              # [K, S, S, 3]
             box, cls, kpt = heads_fn(params, imgs)
 

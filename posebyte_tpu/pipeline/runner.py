@@ -94,6 +94,13 @@ class PosePipeline:
         pose-color descriptor; both emit the same [N, 51]
         keypoint-blocked layout, so the tracker (scan and fused-kernel
         paths alike) is unchanged."""
+        if heads_fn is not None and config.detector.raw_preproc:
+            # injected detector (oracle/GT): no stem weights to fold —
+            # force the normalized letterbox
+            import dataclasses
+            config = dataclasses.replace(
+                config, detector=dataclasses.replace(
+                    config.detector, raw_preproc=False))
         self.config = config
         self.reid_params = reid_params
         if dtype is None:
@@ -113,6 +120,12 @@ class PosePipeline:
                 config.model_name, dtype)
             if params is None:
                 params = init_fn(jax.random.PRNGKey(seed))
+            if config.detector.raw_preproc:
+                # raw-ingest mode: params passed in are ALWAYS the
+                # standard (unfolded) checkpoint form; the BGR+1/255
+                # fold is applied here, once, at construction
+                from ..models.weights import fold_stem_preprocess
+                params = fold_stem_preprocess(params)
         self.params = params
         self.state = TrackerState.init(config.tracker.max_tracks,
                                        config.tracker.max_detections)
@@ -127,7 +140,8 @@ class PosePipeline:
         (StreamServer/ChunkedStreamServer/MultiStream*Pipeline) use the
         same helper, so demo and production serving can't diverge."""
         from ..ops.reid import make_embed_fn
-        return make_embed_fn(self.reid_params)
+        return make_embed_fn(self.reid_params,
+                             raw_input=self.config.detector.raw_preproc)
 
     # -- fused step ---------------------------------------------------------
     def _make_step(self, h: int, w: int):
@@ -155,7 +169,8 @@ class PosePipeline:
             img = letterbox_flat_nhwc(frame_flat_u8, w, h,
                                       det_cfg.input_size,
                                       out_dtype=lb_dtype,
-                                      selection=batch1_selection_override())
+                                      selection=batch1_selection_override(),
+                                      raw=det_cfg.raw_preproc)
             if use_tail:
                 det = detect_fn_levels(params, img, det_cfg,
                                        head_maps_fn)
@@ -205,7 +220,8 @@ class PosePipeline:
             imgs = jax.vmap(
                 lambda f: letterbox_flat_nhwc(f, w, h,
                                               det_cfg.input_size,
-                                              out_dtype=lb_dtype)
+                                              out_dtype=lb_dtype,
+                                              raw=det_cfg.raw_preproc)
             )(frames_flat_u8)                          # [K, S, S, 3]
 
             if use_tail:

@@ -80,7 +80,8 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
     state = jax.tree.map(lambda i, s: jnp.where(reset, i, s), fresh, state)
 
     imgs = jax.vmap(
-        lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size)
+        lambda f: letterbox_flat_nhwc(f, w, h, det_cfg.input_size,
+                                      raw=det_cfg.raw_preproc)
     )(frames_flat)                                   # [K, S, S, 3]
     box, cls, kpt = heads_fn(params, imgs)
 
@@ -97,7 +98,7 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
     if trk_cfg.reid_weight > 0.0:
         if embed_fn is None:
             from ..ops.reid import make_embed_fn
-            embed_fn = make_embed_fn()
+            embed_fn = make_embed_fn(raw_input=det_cfg.raw_preproc)
         embs = jax.vmap(embed_fn)(imgs, dets.poses)
     else:
         embs = jnp.zeros((frames_flat.shape[0], 1))   # scan placeholder
@@ -153,8 +154,15 @@ class StreamServer:
         if dtype is None:    # honor config.precision, as PosePipeline does
             dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                      "int8": jnp.bfloat16}[config.precision]
+        if heads_fn is not None and config.detector.raw_preproc:
+            # injected detector (oracle/eval): no stem weights to fold
+            import dataclasses
+            config = dataclasses.replace(
+                config, detector=dataclasses.replace(
+                    config.detector, raw_preproc=False))
         self.config = config
-        self._embed_fn = make_embed_fn(reid_params)
+        self._embed_fn = make_embed_fn(
+            reid_params, raw_input=config.detector.raw_preproc)
         self.num_streams = num_streams
         self.frame_h, self.frame_w = frame_shape
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -165,6 +173,9 @@ class StreamServer:
                                                        dtype)
             if params is None:
                 params = init_fn(jax.random.PRNGKey(seed))
+            if config.detector.raw_preproc:
+                from ..models.weights import fold_stem_preprocess
+                params = fold_stem_preprocess(params)
 
         stream = NamedSharding(self.mesh, P("stream"))
         replicated = NamedSharding(self.mesh, P())
@@ -287,8 +298,10 @@ class ChunkedStreamServer(StreamServer):
         stream = NamedSharding(self.mesh, P("stream"))
         replicated = NamedSharding(self.mesh, P())
         vchunk = jax.vmap(
+            # self.config, not config: the base constructor may have
+            # forced raw_preproc off for an injected detector
             functools.partial(_gated_stream_chunk, h=self.frame_h,
-                              w=self.frame_w, config=config,
+                              w=self.frame_w, config=self.config,
                               heads_fn=self.heads_fn,
                               embed_fn=self._embed_fn),
             in_axes=(None, 0, 0, 0, 0))

@@ -82,6 +82,10 @@ def main():
                         "process per value)")
     p.add_argument("--topk", choices=["sort", "bisect", "approx"],
                    default="sort")
+    p.add_argument("--raw", type=int, default=None, choices=[0, 1],
+                   help="DetectorConfig.raw_preproc: stem-folded raw "
+                        "BGR u8 ingest (r5). Default: the config "
+                        "default. One process per value.")
     p.add_argument("--fusion", choices=["post", "tail"], default="post",
                    help="decode_fusion placement (r4 VERDICT item 4): "
                         "post = select after level concat; tail = "
@@ -100,14 +104,18 @@ def main():
 
     H, W = 720, 1280
     rng = np.random.default_rng(7)
+    det_kw = {}
+    if args.raw is not None:
+        det_kw["raw_preproc"] = bool(args.raw)
     cfg = PipelineConfig(detector=DetectorConfig(
         gather_impl=args.gather, topk_impl=args.topk,
-        decode_fusion=args.fusion))
+        decode_fusion=args.fusion, **det_kw))
     pipe = PosePipeline(cfg)
     rows = {f"frame_exec_ms_{args.leg}": round(
         measure(pipe, rng, np, jax, args.iters, H, W), 3),
         "gather_impl": args.gather, "topk_impl": args.topk,
-        "decode_fusion": args.fusion}
+        "decode_fusion": args.fusion,
+        "raw_preproc": cfg.detector.raw_preproc}
     print(json.dumps(rows))
     return 0
 

@@ -46,6 +46,10 @@ def main():
                         "_single_stream_step forces the dense letterbox "
                         "(selection=False) since r3, so --leg fast IS "
                         "the production lowering here.")
+    p.add_argument("--raw", type=int, default=None, choices=[0, 1],
+                   help="DetectorConfig.raw_preproc: stem-folded raw "
+                        "BGR u8 ingest (r5). Default: the config "
+                        "default. One process per value.")
     args = p.parse_args()
 
     import jax
@@ -61,9 +65,12 @@ def main():
     from posebyte_tpu.pipeline.serving import StreamServer
 
     H, W, N = 720, 1280, args.streams
+    det_kw = {}
+    if args.raw is not None:
+        det_kw["raw_preproc"] = bool(args.raw)
     srv = StreamServer(num_streams=N, frame_shape=(H, W),
                        config=PipelineConfig(detector=DetectorConfig(
-                           gather_impl=args.gather)))
+                           gather_impl=args.gather, **det_kw)))
 
     rng = np.random.default_rng(11)
     # 4 staged input banks (distinct content so the relay can't memoize
@@ -94,6 +101,7 @@ def main():
     print(json.dumps({
         f"serving_step_ms_{args.leg}": round(best, 3),
         "gather_impl": args.gather,
+        "raw_preproc": srv.config.detector.raw_preproc,
         "streams": N, "iters": args.iters,
         "per_stream_frame_ms": round(best / N, 4),
         "fps_per_stream": round(1e3 / best, 1),
