@@ -57,7 +57,16 @@ def main():
         model_name="yolov8n-pose",
         precision="bf16",
     )
-    pipe = PosePipeline(config)
+    # Explicit params (same seed-0 init PosePipeline would generate):
+    # the int8 leg below must quantize the UNFOLDED form — each
+    # pipeline applies the raw-ingest stem fold itself at construction
+    # when raw_preproc is on, so handing it pipe.params (already
+    # folded) would double-fold.
+    import jax.numpy as _jnp
+    from posebyte_tpu.models import build_model
+    _, _init_fn = build_model(config.model_name, _jnp.bfloat16)
+    params0 = _init_fn(jax.random.PRNGKey(0))
+    pipe = PosePipeline(config, params=params0)
 
     rng = np.random.default_rng(42)
     K, H, W = 128, 720, 1280
@@ -259,7 +268,7 @@ def main():
     try:
         import jax.numpy as jnp
         from posebyte_tpu.models.quant import conv_paths, quantize_params
-        qparams = quantize_params(pipe.params)
+        qparams = quantize_params(params0)   # unfolded; qpipe folds
         for node in conv_paths(qparams).values():
             if "scale" in node:
                 node["act_scale"] = jnp.asarray(0.05, jnp.float32)

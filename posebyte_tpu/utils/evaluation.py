@@ -116,6 +116,13 @@ class TrackingEvaluator:
 
     def __post_init__(self):
         self._last_track_for_gt: dict = {}
+        # IDF1 accumulation (Ristani et al. 2016, as in py-motmetrics):
+        # per (gt_id, track_id) pair, the number of frames where the
+        # pair is a FEASIBLE match (OKS >= threshold), independent of
+        # the per-frame greedy choice; the final score solves a global
+        # assignment over these counts.
+        self._pair_frames: dict = {}
+        self.total_pred: int = 0
 
     def update(self, gt: dict, tracks):
         """gt: {gt_id: pose [17,3]}; tracks: list of TrackOutput."""
@@ -126,6 +133,7 @@ class TrackingEvaluator:
         m, ug, up = match_detections(gt_poses, pred_poses, pred_scores,
                                      self.oks_threshold)
         self.total_gt += len(gt_ids)
+        self.total_pred += len(tracks)
         self.misses += len(ug)
         self.false_positives += len(up)
         self.matches += len(m)
@@ -136,6 +144,14 @@ class TrackingEvaluator:
             if prev is not None and prev != tid:
                 self.id_switches += 1
             self._last_track_for_gt[g] = tid
+        for gi, g in enumerate(gt_ids):
+            gp = np.asarray(gt_poses[gi])
+            for t in tracks:
+                if oks_similarity(gp, np.asarray(t.keypoints)) \
+                        >= self.oks_threshold:
+                    key = (g, t.track_id)
+                    self._pair_frames[key] = \
+                        self._pair_frames.get(key, 0) + 1
 
     @property
     def mota(self) -> float:
@@ -144,8 +160,32 @@ class TrackingEvaluator:
         return 1.0 - (self.misses + self.false_positives
                       + self.id_switches) / self.total_gt
 
+    @property
+    def idf1(self) -> float:
+        """Identity-F1: a global one-to-one gt-trajectory <-> predicted-
+        trajectory assignment maximizing identity-consistent matched
+        frames (IDTP); IDF1 = 2*IDTP / (gt frames + pred frames).
+        Unlike MOTA (which forgives a switch after one frame), IDF1
+        punishes every frame spent under the wrong identity — the
+        metric that shows whether lost-track recovery / Re-ID EARN
+        anything on hard clips."""
+        if not self._pair_frames:
+            return 0.0
+        gt_ids = sorted({g for g, _ in self._pair_frames})
+        tr_ids = sorted({t for _, t in self._pair_frames})
+        mat = np.zeros((len(gt_ids), len(tr_ids)))
+        for (g, t), n in self._pair_frames.items():
+            mat[gt_ids.index(g), tr_ids.index(t)] = n
+        from scipy.optimize import linear_sum_assignment
+        ri, ci = linear_sum_assignment(-mat)
+        idtp = mat[ri, ci].sum()
+        denom = self.total_gt + self.total_pred
+        return float(2.0 * idtp / denom) if denom else 0.0
+
     def summary(self) -> dict:
-        return {"MOTA": round(self.mota, 4), "misses": self.misses,
+        return {"MOTA": round(self.mota, 4),
+                "IDF1": round(self.idf1, 4),
+                "misses": self.misses,
                 "false_positives": self.false_positives,
                 "id_switches": self.id_switches,
                 "matches": self.matches, "gt": self.total_gt}

@@ -138,3 +138,107 @@ def render_frame(poses: np.ndarray, width: int, height: int,
             color = (60 + (60 * i) % 196, 200, 255 - (50 * i) % 200)
         draw_pose(frame, pose, color)
     return frame
+
+
+class CrowdedScene:
+    """HARD tracking scenario: crossing trajectories, close
+    interactions, staggered entry/exit — the degraded-detection regime
+    the two-tier / lost-recovery tracker machinery exists for
+    (reference: gpu_tracker.cu:1276-1436; the easy SyntheticScene
+    never exercises it — figures there are placed to NEVER overlap).
+
+    Every person commutes between waypoints on OPPOSITE sides of the
+    frame, all paths routed through a shared central corridor, so
+    pairs continually cross at varying depths; when rendered
+    (render_frame draws in index order) a crossing is a real partial-
+    to-full occlusion of the earlier-drawn figure. With entry_exit,
+    each person is only active inside a per-identity frame window
+    (walks in from an edge / leaves mid-clip).
+
+    step() returns (poses [P,17,3] f32, active [P] bool): GT for the
+    ACTIVE people only; occluded-but-active people stay labeled (a
+    detector will miss them — that is the point of the benchmark).
+    """
+
+    def __init__(self, n_persons: int = 8, width: int = 1280,
+                 height: int = 720, seed: int = 0,
+                 scale_range=(80.0, 130.0), speed: float = 5.0,
+                 entry_exit: bool = True, clip_len: int = 96):
+        self.width, self.height = width, height
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+        P = n_persons
+        self.scales = rng.uniform(*scale_range, size=P).astype(np.float32)
+        m = float(self.scales.max()) * 0.6 + 8.0
+        self.margin = m
+
+        # waypoint pairs on opposite sides, routed through the center
+        side = rng.integers(0, 2, P)           # 0: left<->right, 1: top<->bottom
+        a = np.empty((P, 2), np.float32)
+        b = np.empty((P, 2), np.float32)
+        for i in range(P):
+            if side[i] == 0:
+                a[i] = (m, rng.uniform(m, height - m))
+                b[i] = (width - m, rng.uniform(m, height - m))
+            else:
+                a[i] = (rng.uniform(m, width - m), m)
+                b[i] = (rng.uniform(m, width - m), height - m)
+        # center routing: waypoint sequence a -> center' -> b -> center'' -> a
+        self.waypoints = [a, None, b, None]
+        self.center_jitter = rng.uniform(-60, 60, size=(2, P, 2)) \
+            .astype(np.float32)
+        cx, cy = width / 2.0, height / 2.0
+        self.waypoints[1] = (np.asarray([[cx, cy]], np.float32)
+                             + self.center_jitter[0])
+        self.waypoints[3] = (np.asarray([[cx, cy]], np.float32)
+                             + self.center_jitter[1])
+        self.wp_idx = rng.integers(0, 4, P)
+        self.centers = np.stack([self.waypoints[self.wp_idx[i]][i]
+                                 for i in range(P)]).astype(np.float32)
+        self.speed = np.float32(speed) * rng.uniform(0.7, 1.3, P) \
+            .astype(np.float32)
+
+        # entry/exit windows (staggered thirds of the clip)
+        if entry_exit:
+            start = rng.integers(0, clip_len // 3, P)
+            end = clip_len - rng.integers(0, clip_len // 3, P)
+            # at least a third of the population spans the whole clip
+            always = rng.permutation(P)[:max(1, P // 3)]
+            start[always] = 0
+            end[always] = clip_len
+            self.window = np.stack([start, end], -1)
+        else:
+            self.window = np.stack([np.zeros(P, np.int64),
+                                    np.full(P, 10 ** 9)], -1)
+        self.t = -1
+
+    @property
+    def n_persons(self) -> int:
+        return len(self.centers)
+
+    def step(self):
+        """Advance one frame -> (poses [P,17,3], active [P] bool)."""
+        self.t += 1
+        P = self.n_persons
+        for i in range(P):
+            tgt = self.waypoints[self.wp_idx[i]][i]
+            d = tgt - self.centers[i]
+            dist = float(np.hypot(d[0], d[1]))
+            if dist < self.speed[i] * 2.0:
+                self.wp_idx[i] = (self.wp_idx[i] + 1) % 4
+                tgt = self.waypoints[self.wp_idx[i]][i]
+                d = tgt - self.centers[i]
+                dist = float(np.hypot(d[0], d[1]))
+            if dist > 1e-6:
+                self.centers[i] += d / dist * self.speed[i]
+        poses = np.ones((P, 17, 3), np.float32)
+        poses[:, :, :2] = (self.centers[:, None, :]
+                           + POSE_OFFSETS[None] * self.scales[:, None, None])
+        active = ((self.t >= self.window[:, 0])
+                  & (self.t < self.window[:, 1]))
+        return poses, active
+
+    def frames(self, n: int):
+        """Yield n (poses, active) GT tuples."""
+        for _ in range(n):
+            yield self.step()

@@ -37,6 +37,19 @@ def main():
     p.add_argument("--starve", action="store_true",
                    help="also run a leg with 2 of the streams starved "
                         "(advance-gating exercised on hardware)")
+    p.add_argument("--reid", choices=["off", "free", "learned"],
+                   default="off",
+                   help="appearance Re-ID in the serving config (r5 "
+                        "VERDICT item 2: measure reid-on cost on "
+                        "hardware): off = reid_weight 0 (default "
+                        "production config), free = reid_weight 0.3 "
+                        "with the training-free pose-color descriptor, "
+                        "learned = reid_weight 0.3 with the trained "
+                        "head (assets/reid_head.safetensors). One "
+                        "process per value.")
+    p.add_argument("--raw", type=int, default=None, choices=[0, 1],
+                   help="DetectorConfig.raw_preproc override (stem-"
+                        "folded raw u8 ingest). One process per value.")
     p.add_argument("--device-only", action="store_true",
                    help="skip the host-driven loop + ingest probe "
                         "(minutes of relay-tunnel H2D); measure only "
@@ -46,8 +59,25 @@ def main():
     import numpy as np
     from posebyte_tpu.pipeline.serving import ChunkedStreamServer
 
+    import dataclasses
+    from posebyte_tpu.core.config import PipelineConfig
+
     S, K, H, W = args.streams, args.chunk, args.height, args.width
-    srv = ChunkedStreamServer(S, (H, W), chunk=K)
+    cfg = PipelineConfig()
+    if args.reid != "off":
+        cfg = dataclasses.replace(cfg, tracker=dataclasses.replace(
+            cfg.tracker, reid_weight=0.3))
+    if args.raw is not None:
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(
+            cfg.detector, raw_preproc=bool(args.raw)))
+    reid_params = None
+    if args.reid == "learned":
+        from posebyte_tpu.models.reid_head import load_reid_head
+        reid_params = load_reid_head(os.path.join(
+            os.path.dirname(__file__), "..", "assets",
+            "reid_head.safetensors"))
+    srv = ChunkedStreamServer(S, (H, W), chunk=K, config=cfg,
+                              reid_params=reid_params)
     sids = [srv.open_stream() for _ in range(S)]
     rng = np.random.default_rng(0)
     base = rng.integers(0, 255, (K, H, W, 3), dtype=np.uint8)
@@ -164,6 +194,8 @@ def main():
     result = {
         "metric": "chunked_stream_server_fps",
         "streams": S, "chunk": K, "geometry": [H, W],
+        "reid": args.reid,
+        "raw_preproc": srv.config.detector.raw_preproc,
         "ingest_probe_ms": round(ingest_ms, 1),
         "scan_step_ms": round(scan_step_ms, 1),
         "scan_fps_total": round(S * K / scan_step_ms * 1e3, 1),
