@@ -40,6 +40,16 @@ class TrackerConfig:
     visibility_threshold: float = C.VISIBILITY_THRESHOLD
     dedup_iou_threshold: float = C.DEDUP_IOU_THRESHOLD
 
+    # Stage-4 torso-OKS fallback tier (gpu_tracker.cu:429/kernelTorsoOKS).
+    # NOTE the reference's "two-tier" split is by COST FUNCTION only:
+    # it computes high/low confidence masks but never applies them to
+    # association (gpu_tracker.cu:1217-1224, reproduced faithfully —
+    # see tracker/step.py divergence notes). This flag ablates the
+    # tier that actually exists. False is supported on the scan path
+    # (tracker_step) for evaluation; the fused chunk kernel always
+    # runs the production True.
+    torso_tier: bool = True
+
     # Appearance Re-ID blend (beyond the reference, ops/reid.py):
     # cost' = (1-w)*geometry + w*(1-cosine) in the high-confidence and
     # lost-recovery tiers. 0 = pure geometric association (reference

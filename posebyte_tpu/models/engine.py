@@ -49,6 +49,17 @@ class YoloPoseEngine:
         if model_name not in MODEL_CONFIGS:
             raise ValueError(f"unknown model {model_name}")
         self.model_name = model_name
+        if config.raw_preproc:
+            # The engine keeps the normalized letterbox on all four
+            # detect paths: its params round-trip through
+            # save_engine/load_engine in the standard (unfolded) form,
+            # and the host/legacy-parity paths are not the perf
+            # surface. The stem-folded raw ingest lives in
+            # PosePipeline / the serving classes (which fold at
+            # construction). Forcing the flag off here keeps
+            # engine.config honest about what actually runs.
+            import dataclasses
+            config = dataclasses.replace(config, raw_preproc=False)
         self.config = config
         self.precision = precision
         dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16

@@ -666,6 +666,10 @@ def tracker_chunk_pallas(state: TrackerState, dets: Detections,
     pipeline/serving.py does).
     """
     assert config.motion_model in ("cv", "kalman136")
+    assert config.torso_tier, \
+        "torso_tier=False is an evaluation-only ablation supported by " \
+        "the scan path (tracker_step); the fused chunk kernel always " \
+        "runs the production stage-4 tier"
     use_reid = config.reid_weight > 0.0
     assert (det_embeddings is not None) == use_reid, \
         "det_embeddings must be passed iff config.reid_weight > 0"

@@ -152,10 +152,13 @@ def tracker_step(state: TrackerState, det: Detections,
                                                            jnp.int32))
 
     # ---- Stage 4: low-confidence tier (torso OKS fallback) ----------------
-    cost2 = jnp.where(gate1, 1.0 - torso_oks_matrix(predicted, det.poses),
-                      LOCK_COST)
-    cost2 = _lock(cost2, row_assign, col_assign)
-    row_assign, col_assign = _tier_assign(cost2, act, row_assign, col_assign)
+    if config.torso_tier:     # ablation knob; production default True
+        cost2 = jnp.where(gate1,
+                          1.0 - torso_oks_matrix(predicted, det.poses),
+                          LOCK_COST)
+        cost2 = _lock(cost2, row_assign, col_assign)
+        row_assign, col_assign = _tier_assign(cost2, act, row_assign,
+                                              col_assign)
 
     # ---- Stage 5: lost-track recovery -------------------------------------
     lost_gate = spatial_gate(track_centers, det_centers, velocities, act,

@@ -46,7 +46,28 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 W, H = 640, 360          # frame geometry of the training curriculum
 
 
-def build_configs(base_conf: float):
+def build_configs(base_conf: float, det_lo: float):
+    """name -> (TrackerConfig, decode confidence floor).
+
+    The ablations target the machinery that ACTUALLY exists. Two
+    findings shape the set (both reproduced from the reference):
+
+      * The reference never applies its high/low confidence masks to
+        association (gpu_tracker.cu:1217-1224; masks written, unread —
+        tracker/step.py divergence notes). Its "two tiers" differ by
+        COST FUNCTION (full OKS, then torso OKS) — so "low-conf tier
+        off" as a threshold ablation is a no-op by construction. The
+        ByteTrack low-confidence idea DOES live at the detector floor:
+        decode at low_thresh so sub-high candidates participate in
+        association but cannot spawn tracks (new_track_thresh). The
+        `demo_wiring` leg decodes at high_thresh instead — exactly
+        what the reference demo effectively runs (main.cpp:207 decodes
+        at conf while :135 sets low = conf*0.5, starving its own low
+        tier).
+      * Tracks coast unmatched for max_age frames before going LOST,
+        so lost-recovery only engages when occlusions outlast max_age;
+        the coast0 legs stress it directly.
+    """
     from posebyte_tpu.core.config import TrackerConfig
 
     def trk(**kw):
@@ -54,14 +75,23 @@ def build_configs(base_conf: float):
 
     full = trk()
     return {
-        "full": full,
-        "no_lowtier": dataclasses.replace(full,
-                                          low_thresh=full.high_thresh),
-        "no_lost": dataclasses.replace(full, lost_window=0),
-        "minimal": dataclasses.replace(full, low_thresh=full.high_thresh,
-                                       lost_window=0),
-        "reid03": dataclasses.replace(full, reid_weight=0.3),
-        "reid03_learned": dataclasses.replace(full, reid_weight=0.3),
+        # production wiring: decode floor = low_thresh (ByteTrack)
+        "full": (full, det_lo),
+        # the reference demo's effective wiring: no low detections
+        "demo_wiring": (full, base_conf),
+        # stage-4 torso-OKS fallback tier off
+        "no_torso": (trk(torso_tier=False), det_lo),
+        # lost-track reactivation window off
+        "no_lost": (trk(lost_window=0), det_lo),
+        # no coasting: unmatched confirmed -> LOST immediately, the
+        # lost stage must carry every occlusion...
+        "coast0": (trk(max_age=0), det_lo),
+        # ...and with the lost stage ALSO off, every occlusion costs
+        # the identity
+        "coast0_nolost": (trk(max_age=0, lost_window=0), det_lo),
+        # appearance Re-ID blend
+        "reid03": (trk(reid_weight=0.3), det_lo),
+        "reid03_learned": (trk(reid_weight=0.3), det_lo),
     }
 
 
@@ -122,15 +152,15 @@ def main():
     S = args.size
     num_anchors = sum((S // s) ** 2 for s in (8, 16, 32))
     seeds = [int(s) for s in args.seeds.split(",")]
-    det_conf = (args.det_conf if args.det_conf is not None
-                else args.conf * 0.5)
-    configs = build_configs(args.conf)
+    det_lo = (args.det_conf if args.det_conf is not None
+              else args.conf * 0.5)
+    configs = build_configs(args.conf, det_lo)
     if args.configs:
         want = args.configs.split(",")
         configs = {k: v for k, v in configs.items() if k in want}
 
     rows = {}
-    for cname, trk_cfg in configs.items():
+    for cname, (trk_cfg, det_conf) in configs.items():
         if cname == "reid03_learned" and reid_params is None:
             rows[cname] = {"skipped": "assets/reid_head.safetensors absent"}
             continue
@@ -174,13 +204,14 @@ def main():
             agg[k + "_per_seed"] = [s[k] for s in per_seed]
         for k in ("id_switches", "misses", "false_positives", "gt"):
             agg[k] = int(np.sum([s[k] for s in per_seed]))
+        agg["det_conf"] = det_conf
         rows[cname] = agg
         print(json.dumps({cname: agg}), flush=True)
 
     artifact = {
         "model": name, "input_size": S, "frames_per_clip": args.frames,
         "persons": args.persons, "seeds": seeds, "conf": args.conf,
-        "det_conf": det_conf, "frame_geometry": [W, H],
+        "det_conf_default": det_lo, "frame_geometry": [W, H],
         "note": ("CrowdedScene held-out clips: crossing trajectories "
                  "through a central corridor (draw-order occlusions), "
                  "staggered entry/exit; production pixels->track "
