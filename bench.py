@@ -52,7 +52,8 @@ def main():
             decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION",
                                          "post"),
             raw_preproc=os.environ.get(
-                "POSEBYTE_RAW_PREPROC", "0") == "1"),
+                "POSEBYTE_RAW_PREPROC",
+                "1") == "1"),   # r5 default: GO, BENCH_RAW_AB_r05
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",

@@ -135,8 +135,13 @@ class DetectorConfig:
     # Exact in f32 (linearity); bf16 equivalence pinned by
     # tests/test_preprocess_fold.py. Constructors that take an injected
     # detector (oracle heads_fn) force this off — there are no stem
-    # weights to fold.
-    raw_preproc: bool = False
+    # weights to fold; YoloPoseEngine keeps the normalized path (its
+    # params round-trip through save/load_engine unfolded).
+    # Default True: measured GO at every production batch shape —
+    # +4.8% e2e at chunk 128 (4339.7 vs 4139.3 FPS), faster at batch 1
+    # (1.652 vs 1.695 ms), tie at 8-stream serving
+    # (BENCH_RAW_AB_r05.json).
+    raw_preproc: bool = True
 
     def __post_init__(self):
         if self.decode_fusion not in ("post", "tail"):

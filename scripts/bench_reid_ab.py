@@ -9,7 +9,7 @@ fetch, min over reps — docs/DEVELOPMENT.md quirks) with:
 
   off      reid_weight 0.0 (production default; control)
   free     reid_weight 0.3, training-free pose-color descriptor
-  learned  reid_weight 0.3, trained MLP head (assets/reid_head.*)
+  learned  reid_weight 0.3, trained MLP head (assets/reid-head-synthetic.*)
 
 One leg per process (jit caches contaminate in-process A/Bs):
   python scripts/bench_reid_ab.py --leg off|free|learned [--raw 0|1]
@@ -59,7 +59,7 @@ def main():
         from posebyte_tpu.models.reid_head import load_reid_head
         reid_params = load_reid_head(os.path.join(
             os.path.dirname(__file__), "..", "assets",
-            "reid_head.safetensors"))
+            "reid-head-synthetic.safetensors"))
     pipe = PosePipeline(config, reid_params=reid_params)
 
     rng = np.random.default_rng(17)

@@ -45,7 +45,7 @@ def main():
                         "production config), free = reid_weight 0.3 "
                         "with the training-free pose-color descriptor, "
                         "learned = reid_weight 0.3 with the trained "
-                        "head (assets/reid_head.safetensors). One "
+                        "head (assets/reid-head-synthetic.safetensors). One "
                         "process per value.")
     p.add_argument("--raw", type=int, default=None, choices=[0, 1],
                    help="DetectorConfig.raw_preproc override (stem-"
@@ -75,7 +75,7 @@ def main():
         from posebyte_tpu.models.reid_head import load_reid_head
         reid_params = load_reid_head(os.path.join(
             os.path.dirname(__file__), "..", "assets",
-            "reid_head.safetensors"))
+            "reid-head-synthetic.safetensors"))
     srv = ChunkedStreamServer(S, (H, W), chunk=K, config=cfg,
                               reid_params=reid_params)
     sids = [srv.open_stream() for _ in range(S)]

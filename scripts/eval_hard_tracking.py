@@ -11,14 +11,15 @@ staggered entry/exit), runs them through the FULL production pipeline
 and scores MOTA / IDF1 / id-switches — then ABLATES the reference's
 defining tracking ideas to show each one earns its keep end-to-end:
 
-  full        two-tier association + lost-window 10 (production)
-  no_lowtier  low-confidence tier OFF (low_thresh = high_thresh:
-              tier-2 candidate set empty; gpu_tracker.cu:1276-1350)
-  no_lost     lost-track reactivation OFF (lost_window = 0;
-              gpu_tracker.cu:1351-1436)
-  minimal     both OFF
-  reid03      + appearance Re-ID blend, training-free descriptor
-  reid03_learned  + learned Re-ID head (assets/reid_head.safetensors)
+  full           production wiring (decode floor = low_thresh)
+  demo_wiring    decode floor = high (the reference demo's effective
+                 wiring: it starves its own low tier, main.cpp:207/135)
+  no_torso       stage-4 torso-OKS fallback tier OFF
+  no_lost        lost-track reactivation window OFF (lost_window = 0)
+  coast0         no unmatched coasting (max_age = 0)
+  coast0_nolost  neither coasting nor lost recovery
+  reid03         + appearance Re-ID blend, training-free descriptor
+  reid03_learned + learned Re-ID head (assets/reid-head-synthetic.*)
 
 Artifact: EVAL_HARD_r05.json (one row per ablation, averaged over
 seeds). Seeds are held out from every training distribution (train
@@ -143,7 +144,7 @@ def main():
     assert name == args.model
 
     reid_asset = os.path.join(os.path.dirname(__file__), "..", "assets",
-                              "reid_head.safetensors")
+                              "reid-head-synthetic.safetensors")
     reid_params = None
     if os.path.exists(reid_asset):
         from posebyte_tpu.models.reid_head import load_reid_head
@@ -162,7 +163,7 @@ def main():
     rows = {}
     for cname, (trk_cfg, det_conf) in configs.items():
         if cname == "reid03_learned" and reid_params is None:
-            rows[cname] = {"skipped": "assets/reid_head.safetensors absent"}
+            rows[cname] = {"skipped": "assets/reid-head-synthetic.safetensors absent"}
             continue
         agg = {}
         per_seed = []

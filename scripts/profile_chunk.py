@@ -61,7 +61,9 @@ def capture_trace(logdir: str) -> str:
             input_size=640, num_anchors=8400,
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
             gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot"),
-            decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION", "post")),
+            decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION", "post"),
+            raw_preproc=os.environ.get("POSEBYTE_RAW_PREPROC",
+                                       "0") == "1"),
         tracker=TrackerConfig(),
         model_name="yolov8n-pose",
         precision="bf16",
