@@ -56,6 +56,18 @@ class TrackerConfig:
     # behavior, the default).
     reid_weight: float = 0.0
     reid_ema: float = 0.9
+    # Embedding image-sampling lowering (ops/reid.py): "direct" =
+    # advanced-indexing point gathers (the reference formulation);
+    # "block" = one contiguous-block gather per keypoint + one-hot
+    # corner selection (ops.reid.corner_blocks). Measured at the
+    # headline chunk shape (BENCH_REID_r05.json, one process per leg):
+    # the free 1-tap descriptor prefers direct (3187 vs 2130 FPS) but
+    # the learned 25-tap patch head prefers block (1008 vs 566 FPS —
+    # the four point-gather fusions alone were 1.38 of 1.75 ms/frame,
+    # PROFILE_REID_LEARNED_r05.json). "auto" (default) picks the
+    # measured winner per source. Values agree bit-exactly (free) / to
+    # f32 rounding (learned patches) — tests/test_reid_head.py.
+    reid_sample_impl: str = "auto"
 
     @staticmethod
     def from_conf_threshold(conf: float, **kw) -> "TrackerConfig":

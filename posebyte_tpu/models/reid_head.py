@@ -52,9 +52,18 @@ def init_reid_head(key, hidden: int = HIDDEN) -> dict:
     }
 
 
+# Block-gather geometry (sample_impl="block"): the 5x5 taps at SPACING
+# 2 span +-4 px around the keypoint, +1 for the bilinear upper corner
+# and +-1 slack for f32 rounding of (coord + integer offset) — a 12x12
+# block per keypoint always contains every (possibly edge-clamped)
+# corner index. Bound audited in tests/test_reid_head.py.
+BLOCK = 12
+
+
 def _sample_patches(image_hwc: jnp.ndarray,
                     poses: jnp.ndarray,
-                    raw_input: bool = False) -> jnp.ndarray:
+                    raw_input: bool = False,
+                    sample_impl: str = "direct") -> jnp.ndarray:
     """Bilinear PxP patch per keypoint: [N, 17, PATCH*PATCH*3] f32.
 
     Same sampling scheme as ops/reid.pose_color_embedding, widened to a
@@ -65,9 +74,17 @@ def _sample_patches(image_hwc: jnp.ndarray,
     are applied to the SAMPLED values ([N,17,PP,3], a few KB) instead
     of the full image, so the MLP sees the same normalized-RGB patches
     it was trained on.
+
+    sample_impl "direct" fetches each tap's four bilinear corners by
+    advanced indexing — N*17*PATCH^2*4 point gathers, the measured
+    7.7x-slowdown path on TPU (BENCH_REID_r05.json). "block" gathers
+    ONE contiguous BLOCKxBLOCKx3 neighborhood per keypoint
+    (ops.reid.corner_blocks) and picks the tap corners out of it with
+    exact one-hot row/column contractions (~25 MFLOP/frame), agreeing
+    with "direct" to f32 rounding of the regrouped bilinear blend.
     """
     S = image_hwc.shape[0]
-    img = image_hwc.astype(jnp.float32)
+    N = poses.shape[0]
     xy = poses[..., :2]                                     # [N,17,2]
     off = (np.arange(PATCH, dtype=np.float32) - (PATCH - 1) / 2.0) \
         * SPACING
@@ -82,30 +99,57 @@ def _sample_patches(image_hwc: jnp.ndarray,
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def at(yi, xi):
-        return img[yi, xi]                                  # [N,17,PP,3]
+    if sample_impl == "block":
+        from ..ops.reid import corner_blocks
+        reach = int((PATCH - 1) / 2 * SPACING)              # 4 px
+        base = jnp.floor(jnp.clip(xy, 0.0, S - 1.001)).astype(jnp.int32)
+        bx = jnp.clip(base[..., 0] - reach, 0, S - BLOCK)   # [N,17]
+        by = jnp.clip(base[..., 1] - reach, 0, S - BLOCK)
+        blk = corner_blocks(image_hwc, by, bx, size=BLOCK)
+        blk = blk.astype(jnp.float32)           # [N,17,B,B,3]
+        ry = y0 - by[..., None]                 # [N,17,PP] in [0,B-2]
+        rx = x0 - bx[..., None]
+        iot = jnp.arange(BLOCK, dtype=jnp.int32)
+        # separable bilinear as exact one-hot selections premixed with
+        # the fractional weights; HIGHEST keeps the f32 weights out of
+        # bf16 MXU rounding (FLOPs here are negligible)
+        wy = ((ry[..., None] == iot) * (1.0 - fy)
+              + ((ry + 1)[..., None] == iot) * fy)          # [N,17,PP,B]
+        wx = ((rx[..., None] == iot) * (1.0 - fx)
+              + ((rx + 1)[..., None] == iot) * fx)
+        rows = jnp.einsum("nktb,nkbwc->nktwc", wy, blk,
+                          precision=jax.lax.Precision.HIGHEST)
+        c = jnp.einsum("nktw,nktwc->nktc", wx, rows,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        img = image_hwc.astype(jnp.float32)
 
-    c = (at(y0, x0) * (1 - fx) * (1 - fy)
-         + at(y0, x0 + 1) * fx * (1 - fy)
-         + at(y0 + 1, x0) * (1 - fx) * fy
-         + at(y0 + 1, x0 + 1) * fx * fy)                    # [N,17,PP,3]
+        def at(yi, xi):
+            return img[yi, xi]                              # [N,17,PP,3]
+
+        c = (at(y0, x0) * (1 - fx) * (1 - fy)
+             + at(y0, x0 + 1) * fx * (1 - fy)
+             + at(y0 + 1, x0) * (1 - fx) * fy
+             + at(y0 + 1, x0 + 1) * fx * fy)                # [N,17,PP,3]
     if raw_input:
         c = c[..., ::-1] * jnp.float32(1.0 / 255.0)
-    return c.reshape(poses.shape[0], C.NUM_KEYPOINTS, IN_DIM)
+    return c.reshape(N, C.NUM_KEYPOINTS, IN_DIM)
 
 
 def apply_reid_head(params: dict, image_hwc: jnp.ndarray,
                     poses: jnp.ndarray,
                     conf_gate: float = 0.2,
-                    raw_input: bool = False) -> jnp.ndarray:
+                    raw_input: bool = False,
+                    sample_impl: str = "direct") -> jnp.ndarray:
     """[S,S,3] image + [N,17,3] poses -> L2-normalized [N, REID_DIM].
 
     Drop-in replacement for ops.reid.pose_color_embedding with the same
     visibility convention: keypoints with confidence <= conf_gate emit
     zero blocks, so the co-visibility cosine compares only shared
-    keypoints. raw_input: see _sample_patches.
+    keypoints. raw_input / sample_impl: see _sample_patches.
     """
-    feats = _sample_patches(image_hwc, poses, raw_input)    # [N,17,IN]
+    feats = _sample_patches(image_hwc, poses, raw_input,
+                            sample_impl=sample_impl)        # [N,17,IN]
     h = jax.nn.relu(feats @ params["w1"] + params["b1"])
     code = h @ params["w2"] + params["b2"]                  # [N,17,3]
     # tanh bounds the code so one keypoint cannot dominate the cosine

@@ -27,7 +27,34 @@ from ..core import constants as C
 REID_DIM = C.NUM_KEYPOINTS * 3
 
 
-def make_embed_fn(reid_params=None, raw_input: bool = False):
+def corner_blocks(image_hwc: jnp.ndarray, y0: jnp.ndarray,
+                  x0: jnp.ndarray, size: int = 2) -> jnp.ndarray:
+    """[N,17] int32 block starts -> [N,17,size,size,3] image blocks via
+    ONE (double-vmapped) dynamic_slice — i.e. a single XLA gather of
+    contiguous blocks.
+
+    Why this exists: the four-corner advanced-indexing form
+    (`image[yi, xi]` x 4) lowers to four point gathers with N*17 scalar
+    index rows EACH, and TPU gathers pay per-index overhead — measured
+    as the entire 26% reid-on cost at the headline shape and the 7.7x
+    slowdown of the learned patch head (BENCH_REID_r05.json,
+    PROFILE_REID_*_r05.json). Fetching each keypoint's neighborhood as
+    one contiguous block cuts the index count by size*size*4 while
+    returning the SAME corner values, so the bilinear expression built
+    on top is arithmetically identical. Starts must be pre-clamped to
+    [0, S-size] (dynamic_slice would clamp identically anyway)."""
+    import jax
+    from jax import lax
+
+    def blk(y, x):
+        return lax.dynamic_slice(image_hwc, (y, x, jnp.int32(0)),
+                                 (size, size, 3))
+
+    return jax.vmap(jax.vmap(blk))(y0, x0)
+
+
+def make_embed_fn(reid_params=None, raw_input: bool = False,
+                  sample_impl: str = "direct"):
     """(image_hwc, poses) -> [N, 51] appearance embeddings.
 
     The single selection point for the appearance source, shared by
@@ -43,20 +70,29 @@ def make_embed_fn(reid_params=None, raw_input: bool = False):
     DetectorConfig.raw_preproc). Both sources then flip+scale the
     SAMPLED values (tiny [N,17,...] tensors) so embeddings match the
     normalized-RGB path — the full image is never re-normalized.
+
+    sample_impl: image-sampling lowering, "direct" (advanced-indexing
+    point gathers, the reference formulation), "block" (one
+    contiguous-block gather per keypoint + in-register corner
+    selection — see corner_blocks), or "auto" (the measured winner per
+    source: direct for the 1-tap free descriptor, block for the 25-tap
+    learned patches — TrackerConfig.reid_sample_impl for the numbers).
     """
+    if sample_impl == "auto":
+        sample_impl = "block" if reid_params is not None else "direct"
     if reid_params is not None:
         from ..models.reid_head import apply_reid_head
         return lambda img, poses: apply_reid_head(reid_params, img, poses,
-                                                  raw_input=raw_input)
-    if raw_input:
-        return lambda img, poses: pose_color_embedding(img, poses,
-                                                       raw_input=True)
-    return pose_color_embedding
+                                                  raw_input=raw_input,
+                                                  sample_impl=sample_impl)
+    return lambda img, poses: pose_color_embedding(
+        img, poses, raw_input=raw_input, sample_impl=sample_impl)
 
 
 def pose_color_embedding(image_hwc: jnp.ndarray,
                          poses: jnp.ndarray,
-                         raw_input: bool = False) -> jnp.ndarray:
+                         raw_input: bool = False,
+                         sample_impl: str = "direct") -> jnp.ndarray:
     """Training-free appearance descriptor.
 
     image_hwc: [S, S, 3] float (letterboxed model input, 0..1), or the
@@ -78,13 +114,25 @@ def pose_color_embedding(image_hwc: jnp.ndarray,
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
 
-    def at(yi, xi):
-        return image_hwc[yi, xi]                            # [N,17,3]
+    if sample_impl == "block":
+        # one gather of contiguous 2x2x3 blocks (x0,y0 <= S-2 by the
+        # clip above, so the block always fits); corners come out as
+        # static slices of the block — bit-identical values to the
+        # direct path's four point gathers
+        blk = corner_blocks(image_hwc, y0, x0, size=2)  # [N,17,2,2,3]
+        c00, c01 = blk[:, :, 0, 0], blk[:, :, 0, 1]
+        c10, c11 = blk[:, :, 1, 0], blk[:, :, 1, 1]
+    else:
+        def at(yi, xi):
+            return image_hwc[yi, xi]                        # [N,17,3]
 
-    c = (at(y0, x0) * (1 - fx) * (1 - fy)
-         + at(y0, x0 + 1) * fx * (1 - fy)
-         + at(y0 + 1, x0) * (1 - fx) * fy
-         + at(y0 + 1, x0 + 1) * fx * fy)                    # [N,17,3]
+        c00, c01 = at(y0, x0), at(y0, x0 + 1)
+        c10, c11 = at(y0 + 1, x0), at(y0 + 1, x0 + 1)
+
+    c = (c00 * (1 - fx) * (1 - fy)
+         + c01 * fx * (1 - fy)
+         + c10 * (1 - fx) * fy
+         + c11 * fx * fy)                                   # [N,17,3]
     if raw_input:
         # flip+scale the sampled colors (not the image): matches the
         # normalized-RGB descriptor (the 1/255 cancels in the L2 norm

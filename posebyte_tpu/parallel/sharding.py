@@ -66,7 +66,9 @@ def _single_stream_step(params, state, frame_u8, config: PipelineConfig,
     if config.tracker.reid_weight > 0.0:
         if embed_fn is None:
             from ..ops.reid import make_embed_fn
-            embed_fn = make_embed_fn(raw_input=det_cfg.raw_preproc)
+            embed_fn = make_embed_fn(
+                raw_input=det_cfg.raw_preproc,
+                sample_impl=config.tracker.reid_sample_impl)
         emb = embed_fn(img, det.poses)
     state, aux = tracker_step(state, det, config.tracker,
                               det_embeddings=emb)
@@ -118,7 +120,8 @@ class MultiStreamPipeline:
                 heads_fn=self.heads_fn,
                 embed_fn=make_embed_fn(
                     reid_params,
-                    raw_input=config.detector.raw_preproc)),
+                    raw_input=config.detector.raw_preproc,
+                    sample_impl=config.tracker.reid_sample_impl)),
             in_axes=(None, 0, 0))
         self._step = jax.jit(
             vstep,
@@ -150,8 +153,9 @@ class MultiStreamChunkPipeline:
         from ..ops.decode import decode_topk as _decode_topk
         from ..ops.nms import pose_nms as _pose_nms
         from ..ops.reid import make_embed_fn
-        embed_fn = make_embed_fn(reid_params,
-                                 raw_input=config.detector.raw_preproc)
+        embed_fn = make_embed_fn(
+            reid_params, raw_input=config.detector.raw_preproc,
+            sample_impl=config.tracker.reid_sample_impl)
 
         self.config = config
         self.num_streams = num_streams

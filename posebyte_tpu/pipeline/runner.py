@@ -140,8 +140,10 @@ class PosePipeline:
         (StreamServer/ChunkedStreamServer/MultiStream*Pipeline) use the
         same helper, so demo and production serving can't diverge."""
         from ..ops.reid import make_embed_fn
-        return make_embed_fn(self.reid_params,
-                             raw_input=self.config.detector.raw_preproc)
+        return make_embed_fn(
+            self.reid_params,
+            raw_input=self.config.detector.raw_preproc,
+            sample_impl=self.config.tracker.reid_sample_impl)
 
     # -- fused step ---------------------------------------------------------
     def _make_step(self, h: int, w: int):

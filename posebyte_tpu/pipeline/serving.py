@@ -98,7 +98,9 @@ def _gated_stream_chunk(params, state, frames_flat, advance, reset,
     if trk_cfg.reid_weight > 0.0:
         if embed_fn is None:
             from ..ops.reid import make_embed_fn
-            embed_fn = make_embed_fn(raw_input=det_cfg.raw_preproc)
+            embed_fn = make_embed_fn(
+                raw_input=det_cfg.raw_preproc,
+                sample_impl=trk_cfg.reid_sample_impl)
         embs = jax.vmap(embed_fn)(imgs, dets.poses)
     else:
         embs = jnp.zeros((frames_flat.shape[0], 1))   # scan placeholder
@@ -162,7 +164,8 @@ class StreamServer:
                     config.detector, raw_preproc=False))
         self.config = config
         self._embed_fn = make_embed_fn(
-            reid_params, raw_input=config.detector.raw_preproc)
+            reid_params, raw_input=config.detector.raw_preproc,
+            sample_impl=config.tracker.reid_sample_impl)
         self.num_streams = num_streams
         self.frame_h, self.frame_w = frame_shape
         self.mesh = mesh if mesh is not None else make_mesh()

@@ -32,6 +32,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--leg", choices=["off", "free", "learned"],
                    required=True)
+    p.add_argument("--sample-impl",
+                   choices=["auto", "direct", "block"],
+                   default="auto",
+                   help="embedding image-sampling lowering "
+                        "(TrackerConfig.reid_sample_impl)")
     p.add_argument("--raw", type=int, default=None, choices=[0, 1])
     p.add_argument("--chunks", type=int, default=16)
     p.add_argument("--reps", type=int, default=3)
@@ -50,7 +55,8 @@ def main():
     if args.raw is not None:
         det_kw["raw_preproc"] = bool(args.raw)
     trk = TrackerConfig() if args.leg == "off" \
-        else TrackerConfig(reid_weight=0.3)
+        else TrackerConfig(reid_weight=0.3,
+                           reid_sample_impl=args.sample_impl)
     config = PipelineConfig(detector=DetectorConfig(**det_kw),
                             tracker=trk, model_name="yolov8n-pose",
                             precision="bf16")
@@ -102,6 +108,7 @@ def main():
     print(json.dumps({
         f"fps_{args.leg}": round(n_frames / best, 1),
         "ms_per_frame": round(best / n_frames * 1e3, 4),
+        "sample_impl": args.sample_impl,
         "reid_weight": trk.reid_weight,
         "raw_preproc": config.detector.raw_preproc,
         "chunk": K, "frames": n_frames,

@@ -64,11 +64,22 @@ def capture_trace(logdir: str) -> str:
             decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION", "post"),
             raw_preproc=os.environ.get("POSEBYTE_RAW_PREPROC",
                                        "0") == "1"),
-        tracker=TrackerConfig(),
+        # POSEBYTE_REID=free|learned profiles the reid-on executable
+        # (r5: decomposing the measured 26% reid-on cost)
+        tracker=TrackerConfig(
+            reid_weight=0.3 if os.environ.get("POSEBYTE_REID") else 0.0,
+            reid_sample_impl=os.environ.get("POSEBYTE_REID_SAMPLE",
+                                            "auto")),
         model_name="yolov8n-pose",
         precision="bf16",
     )
-    pipe = PosePipeline(config)
+    reid_params = None
+    if os.environ.get("POSEBYTE_REID") == "learned":
+        from posebyte_tpu.models.reid_head import load_reid_head
+        reid_params = load_reid_head(os.path.join(
+            os.path.dirname(__file__), "..", "assets",
+            "reid-head-synthetic.safetensors"))
+    pipe = PosePipeline(config, reid_params=reid_params)
 
     rng = np.random.default_rng(42)
     K, H, W = 128, 720, 1280
@@ -124,6 +135,8 @@ def classify(name: str, category: str) -> str:
         return "nms_kernel"
     if category == "sort":
         return "decode_topk_sort"
+    if "gather" in name or name.startswith("transpose_gather"):
+        return "reid_embed_gathers"   # pose-color / patch sampling
     if name.startswith(("broadcast_xor", "constant_dynamic-slice")):
         return "bench_instrument"
     if category == "convolution fusion":

@@ -73,6 +73,95 @@ def test_head_learns_identity_separation():
     assert m["same_id_cos"] > m["diff_id_cos"] + 0.3, m
 
 
+def _edge_stress_poses(rng, n, size):
+    """Poses stressing every sampling edge case: interior, straddling
+    all four image edges, far outside the image (clamping), and
+    coordinates epsilon-close to integers (f32 rounding of
+    coord + integer patch offset)."""
+    poses = np.ones((n, 17, 3), np.float32)
+    poses[:, :, :2] = rng.uniform(-30, size + 30, (n, 17, 2))
+    poses[0, :, :2] = rng.uniform(10, size - 10, (17, 2))    # interior
+    poses[1, :, 0] = rng.uniform(-6, 6, 17)                  # left edge
+    poses[2, :, 1] = size - rng.uniform(-6, 6, 17)           # bottom
+    near = rng.integers(1, size - 1, (17, 2)).astype(np.float32)
+    poses[3, :, :2] = near - np.float32(1e-6)                # eps-near
+    poses[4, :, :2] = near                                   # exact ints
+    return poses
+
+
+def test_sample_impl_block_matches_direct():
+    """sample_impl='block' (one contiguous-block gather per keypoint +
+    one-hot corner selection — the TPU lowering) must match the direct
+    advanced-indexing formulation to f32 rounding, on u8 AND f32
+    images, raw and normalized, including edge-clamped and
+    near-integer coordinates."""
+    from posebyte_tpu.models.reid_head import _sample_patches
+
+    rng = np.random.default_rng(7)
+    S = 96
+    img_u8 = jnp.asarray(rng.integers(0, 255, (S, S, 3), dtype=np.uint8))
+    img_f32 = img_u8.astype(jnp.float32) / 255.0
+    poses = jnp.asarray(_edge_stress_poses(rng, 8, S))
+    for img, raw in ((img_f32, False), (img_u8, True)):
+        d = np.asarray(_sample_patches(img, poses, raw_input=raw,
+                                       sample_impl="direct"))
+        b = np.asarray(_sample_patches(img, poses, raw_input=raw,
+                                       sample_impl="block"))
+        np.testing.assert_allclose(b, d, rtol=0, atol=2e-4)
+
+    params = init_reid_head(jax.random.PRNGKey(2))
+    ed = np.asarray(apply_reid_head(params, img_u8, poses, raw_input=True,
+                                    sample_impl="direct"))
+    eb = np.asarray(apply_reid_head(params, img_u8, poses, raw_input=True,
+                                    sample_impl="block"))
+    np.testing.assert_allclose(eb, ed, rtol=0, atol=1e-4)
+
+
+def test_pose_color_block_bit_exact():
+    """The free descriptor's block lowering is BIT-exact vs direct:
+    identical corner values, identical bilinear expression."""
+    from posebyte_tpu.ops.reid import pose_color_embedding
+
+    rng = np.random.default_rng(11)
+    S = 80
+    img_u8 = jnp.asarray(rng.integers(0, 255, (S, S, 3), dtype=np.uint8))
+    img_f32 = img_u8.astype(jnp.float32) / 255.0
+    poses = jnp.asarray(_edge_stress_poses(rng, 8, S))
+    for img, raw in ((img_f32, False), (img_u8, True)):
+        d = np.asarray(pose_color_embedding(img, poses, raw_input=raw,
+                                            sample_impl="direct"))
+        b = np.asarray(pose_color_embedding(img, poses, raw_input=raw,
+                                            sample_impl="block"))
+        np.testing.assert_array_equal(b, d)
+
+
+def test_block_tap_indices_in_bounds():
+    """Audit of the BLOCK=12 bound: every per-tap corner index lands
+    inside [start, start+BLOCK-1] for adversarial coordinates."""
+    from posebyte_tpu.models.reid_head import BLOCK, PATCH, SPACING
+
+    S = 64
+    reach = int((PATCH - 1) / 2 * SPACING)
+    off = (np.arange(PATCH, dtype=np.float32) - (PATCH - 1) / 2.0) \
+        * SPACING
+    grid = np.stack(np.meshgrid(off, off), -1).reshape(-1, 2)
+    rng = np.random.default_rng(3)
+    coords = np.concatenate([
+        rng.uniform(-50, S + 50, 4000).astype(np.float32),
+        np.arange(0, S, 0.25, dtype=np.float32),
+        (np.arange(S) - 1e-6).astype(np.float32),
+        (np.arange(S) + 1e-6).astype(np.float32),
+    ])
+    base = np.floor(np.clip(coords, 0.0, S - 1.001)).astype(np.int64)
+    start = np.clip(base - reach, 0, S - BLOCK)
+    for o in np.unique(grid[:, 0]):
+        t = np.clip(coords + np.float32(o), 0.0,
+                    np.float32(S - 1.001)).astype(np.float32)
+        t0 = np.floor(t).astype(np.int64)
+        rel = t0 - start
+        assert rel.min() >= 0 and (rel + 1).max() <= BLOCK - 1, o
+
+
 def test_checkpoint_roundtrip(tmp_path):
     params = init_reid_head(jax.random.PRNGKey(3))
     path = str(tmp_path / "head.safetensors")
