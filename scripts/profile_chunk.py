@@ -62,8 +62,10 @@ def capture_trace(logdir: str) -> str:
             topk_impl=os.environ.get("POSEBYTE_TOPK_IMPL", "sort"),
             gather_impl=os.environ.get("POSEBYTE_GATHER_IMPL", "onehot"),
             decode_fusion=os.environ.get("POSEBYTE_DECODE_FUSION", "post"),
+            # default follows the production default (raw ingest ON
+            # since r5); POSEBYTE_RAW_PREPROC=0 profiles the float path
             raw_preproc=os.environ.get("POSEBYTE_RAW_PREPROC",
-                                       "0") == "1"),
+                                       "1") == "1"),
         # POSEBYTE_REID=free|learned profiles the reid-on executable
         # (r5: decomposing the measured 26% reid-on cost)
         tracker=TrackerConfig(
