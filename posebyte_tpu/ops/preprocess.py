@@ -31,6 +31,26 @@ import numpy as np
 from ..core import constants as C
 
 
+def ingest_retile_override() -> str | None:
+    """Debug hook for the selection-path retile A/B (r5).
+
+    The selection letterbox must turn flat [H*W*3] bytes into a sliced
+    [nh, nw, 3] content block; HOW the minor-dim-3 retile is scheduled
+    is a measured lowering choice (BENCH_INGEST_AB_r05.json):
+      "full"  reshape [H, W, 3] first, then slice rows+cols — the whole
+              frame pays the flat->tiled minor-dim-3 relayout
+              (reshape.522/copy.811 = 0.027 ms/frame in PROFILE_r05).
+      "split" reshape [H, W*3] (rows only), slice rows (stride sy),
+              THEN reshape [nh, W, 3] and slice cols — only 1/sy of the
+              bytes pay the minor-dim-3 retile. Same elements selected,
+              bit-identical output; measured -5.1% on letterbox+forward
+              at chunk 128.
+    Returns the POSEBYTE_INGEST_RETILE env value ("full"/"split") for
+    clean-process A/B legs, or None to take the measured default."""
+    v = os.environ.get("POSEBYTE_INGEST_RETILE", "")
+    return v if v in ("full", "split") else None
+
+
 def batch1_selection_override() -> bool:
     """Debug hook for letterbox-lowering A/B probes.
 
@@ -184,11 +204,29 @@ def letterbox_flat_nhwc(frame_flat: jnp.ndarray, input_width: int,
         (y0, sy), (x0, sx) = sel
         _, new_w, new_h, pad_x, pad_y = letterbox_params(
             input_width, input_height, target)
-        img = frame_flat.reshape(input_height, input_width, 3)
-        content = jax.lax.slice(
-            img, (y0, x0, 0),
-            (y0 + sy * (new_h - 1) + 1, x0 + sx * (new_w - 1) + 1, 3),
-            (sy, sx, 1))
+        retile = ingest_retile_override() or "split"
+        if retile == "split" and sy > 1:
+            # Row-decimate BEFORE the minor-dim-3 retile: the flat->
+            # [*, W, 3] relayout (the largest surviving preprocessing
+            # op, 0.027 ms/frame per PROFILE_r05.json reshape.522/
+            # copy.811) then touches only 1/sy of the frame's bytes.
+            # Identical elements to the full-retile formulation;
+            # measured -5.1% on letterbox+forward at chunk 128
+            # (BENCH_INGEST_AB_r05.json; e2e GO in BENCH_RETILE_AB_r05).
+            img2d = frame_flat.reshape(input_height, input_width * 3)
+            rows = jax.lax.slice(
+                img2d, (y0, 0),
+                (y0 + sy * (new_h - 1) + 1, input_width * 3),
+                (sy, 1))                                 # [nh, W*3]
+            content = jax.lax.slice(
+                rows.reshape(new_h, input_width, 3), (0, x0, 0),
+                (new_h, x0 + sx * (new_w - 1) + 1, 3), (1, sx, 1))
+        else:
+            img = frame_flat.reshape(input_height, input_width, 3)
+            content = jax.lax.slice(
+                img, (y0, x0, 0),
+                (y0 + sy * (new_h - 1) + 1, x0 + sx * (new_w - 1) + 1, 3),
+                (sy, sx, 1))
         if raw:
             # uint8 end-to-end: pad with the un-normalized gray value;
             # no flip (folded into stem weights), no convert/multiply

@@ -209,3 +209,40 @@ def test_pipeline_oracle_forces_raw_off():
                         dtype=jnp.float32)
     assert pipe.config.detector.raw_preproc is False
     pipe.process_frame(np.zeros((H, W, 3), np.uint8), block=True)
+
+
+# ---------------------------------------------------------------------------
+# selection-path retile lowering (r5: BENCH_INGEST_AB_r05.json)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h,s", [(128, 72, 64),      # 720p-proportioned
+                                   (192, 108, 64),     # 1080p-proportioned
+                                   (1280, 720, 640)])  # production geometry
+@pytest.mark.parametrize("raw", [True, False])
+def test_split_retile_bit_identical(w, h, s, raw, monkeypatch):
+    """The split retile (row-decimate before the minor-dim-3 reshape)
+    selects exactly the same bytes as the full-frame retile, in both
+    raw-u8 and normalized-f32 modes, single-frame and vmapped."""
+    from posebyte_tpu.ops import preprocess as P
+
+    assert P._selection_strides(w, h, s) is not None
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.integers(0, 256, (3, h * w * 3), np.uint8))
+
+    outs = {}
+    for mode in ("full", "split"):
+        monkeypatch.setenv("POSEBYTE_INGEST_RETILE", mode)
+        fn = jax.jit(lambda f: P.letterbox_flat_nhwc.__wrapped__(
+            f, w, h, s, raw=raw))
+        outs[mode] = (np.asarray(fn(frames[0])),
+                      np.asarray(jax.vmap(fn)(frames)))
+    np.testing.assert_array_equal(outs["full"][0], outs["split"][0])
+    np.testing.assert_array_equal(outs["full"][1], outs["split"][1])
+
+
+def test_split_retile_default_on():
+    """Default (no env override) takes the measured winner: split."""
+    import os as _os
+    from posebyte_tpu.ops.preprocess import ingest_retile_override
+    assert _os.environ.get("POSEBYTE_INGEST_RETILE", "") == ""
+    assert ingest_retile_override() is None  # code default is split
